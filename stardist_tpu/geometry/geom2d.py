@@ -1,0 +1,143 @@
+"""2D geometry API: star distances, polar->cartesian, label rendering.
+
+Mirrors the reference public surface (stardist/geometry/geom2d.py) with the
+compute mapped to TPU kernels:
+- ``star_dist``: JAX ray-march kernel (mode='jax'/'tpu'; 'numpy' oracle).
+- ``polygons_to_label``: splatting rasterizer with the reference's
+  order semantics — polygons are rendered in ascending probability order and
+  later polygons overwrite earlier ones (geom2d.py:169-197); label ids are
+  consecutive in the given candidate order.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..matching import _check_label_array
+from ..utils import _normalize_grid, regions
+from ..ops.stardist2d import star_dist2d_jax, star_dist2d_numpy
+from ..ops.rasterize import rasterize_polygons
+
+
+def ray_angles(n_rays=32):
+    return np.linspace(0, 2 * np.pi, n_rays, endpoint=False)
+
+
+def star_dist(a, n_rays=32, grid=(1, 1), mode="jax"):
+    """Star-convex distances of a label image ('a'; id 0 = background).
+
+    Output shape ((H-1)//gy+1, (W-1)//gx+1, n_rays) float32.
+    """
+    if not (np.isscalar(n_rays) and 0 < int(n_rays)):
+        raise ValueError("need 'n_rays' >= 1")
+    if n_rays < 3:
+        raise ValueError("need 'n_rays' >= 3")
+    n_rays = int(n_rays)
+    grid = _normalize_grid(grid, 2)
+    a = np.asarray(a)
+    if mode in ("jax", "tpu", "cpp", "opencl"):
+        # 'cpp'/'opencl' accepted for reference API compatibility
+        return star_dist2d_jax(a, n_rays, grid=grid)
+    elif mode in ("numpy", "python"):
+        return star_dist2d_numpy(a, n_rays, grid=grid)
+    else:
+        raise ValueError(f"Unknown mode {mode}")
+
+
+def dist_to_coord(dist, points, scale_dist=(1, 1)):
+    """Polar to cartesian: (n_polys, n_rays), (n_polys, 2) -> (n_polys, 2, n_rays)."""
+    dist = np.asarray(dist)
+    points = np.asarray(points)
+    assert dist.ndim == 2 and points.ndim == 2 and len(dist) == len(points) \
+        and points.shape[1] == 2 and len(scale_dist) == 2
+    phis = ray_angles(dist.shape[1])
+    coord = (dist[:, np.newaxis] * np.array([np.sin(phis), np.cos(phis)])).astype(np.float32)
+    coord *= np.asarray(scale_dist).reshape(1, 2, 1)
+    coord += points[..., np.newaxis]
+    return coord
+
+
+def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):
+    """Shared renderer: ascending-prob order, later overwrites; the pixel
+    value of the winning polygon i is labels[i]+1."""
+    n = len(dist)
+    if n == 0:
+        return np.zeros(shape, np.int32)
+    prob = np.inf * np.ones(n) if prob is None else np.asarray(prob)
+    ind = np.argsort(prob, kind="stable")
+    # rank in ascending-prob order (1-based); scatter-max picks the polygon
+    # that the reference's sequential overwrite would have rendered last
+    order_values = np.empty(n, np.int32)
+    order_values[ind] = np.arange(1, n + 1)
+    img, _ = rasterize_polygons(
+        np.asarray(dist), np.asarray(points), tuple(shape), order_values,
+        scale_dist=scale_dist,
+    )
+    lut = np.zeros(n + 1, np.int32)
+    lut[order_values] = np.asarray(labels) + 1
+    return lut[img]
+
+
+def polygons_to_label_coord(coord, shape, labels=None):
+    """Render polygons given by explicit vertex coords (n_polys, 2, n_rays).
+
+    Assumes the coords were produced by ``dist_to_coord`` (equiangular rays);
+    the (center, dist) representation is recovered by least squares.
+    """
+    coord = np.asarray(coord)
+    if labels is None:
+        labels = np.arange(len(coord))
+    _check_label_array(labels, "labels")
+    assert coord.ndim == 3 and coord.shape[1] == 2 and len(coord) == len(labels)
+    n_polys, _, n_rays = coord.shape
+    if n_polys == 0:
+        return np.zeros(shape, np.int32)
+    phis = ray_angles(n_rays)
+    dirs = np.stack([np.sin(phis), np.cos(phis)], axis=-1)  # (R, 2)
+    # vertex_k = c + d_k * dirs_k; the component of (v_k - c) perpendicular to
+    # dirs_k vanishes -> linear system perp_k . c = perp_k . v_k for c.
+    perp = np.stack([-dirs[:, 1], dirs[:, 0]], axis=-1)  # (R, 2)
+    v = np.moveaxis(coord, 1, -1)  # (N, R, 2)
+    b = np.einsum("rk,nrk->nr", perp, v)  # (N, R)
+    AtA = perp.T @ perp
+    Atb = np.einsum("rk,nr->nk", perp, b)
+    c = np.linalg.solve(AtA[None], Atb[..., None])[..., 0]  # (N, 2)
+    d = np.einsum("rk,nrk->nr", dirs, v - c[:, None, :])
+    d = np.maximum(d, 1e-3)
+    return _render_polygons(d, c, prob=None, labels=np.asarray(labels), shape=shape)
+
+
+def polygons_to_label(dist, points, shape, prob=None, thr=-np.inf, scale_dist=(1, 1)):
+    """Convert distances and center points to a label image.
+
+    Label ids are consecutive and adhere to the given order (reference
+    geom2d.py:169-197); for overlapping polygons the higher-probability one
+    wins (ties: the later one in ascending stable sort order).
+    """
+    dist = np.asarray(dist)
+    points = np.asarray(points)
+    prob = np.inf * np.ones(len(points)) if prob is None else np.asarray(prob)
+
+    assert dist.ndim == 2 and points.ndim == 2 and len(dist) == len(points)
+    assert len(points) == len(prob) and points.shape[1] == 2 and prob.ndim == 1
+
+    ind = prob > thr
+    points = points[ind]
+    dist = dist[ind]
+    prob = prob[ind]
+
+    return _render_polygons(dist, points, prob, np.arange(len(dist)), shape,
+                            scale_dist=tuple(scale_dist))
+
+
+def relabel_image_stardist(lbl, n_rays, **kwargs):
+    """Relabel each region with its star-convex polygon approximation."""
+    _check_label_array(lbl, "lbl")
+    if not lbl.ndim == 2:
+        raise ValueError("lbl image should be 2 dimensional")
+    dist = star_dist(lbl, n_rays, **kwargs)
+    points = np.array(tuple(np.array(r.centroid).astype(int) for r in regions(lbl)))
+    if len(points) == 0:
+        dist, points = np.zeros((0, n_rays), np.float32), np.zeros((0, 2), int)
+    else:
+        dist = dist[tuple(points.T)]
+    return polygons_to_label(dist, points, shape=lbl.shape)

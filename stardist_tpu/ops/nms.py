@@ -1,0 +1,302 @@
+"""Non-maximum suppression of star polygons / polyhedra on TPU.
+
+TPU-native equivalent of the reference C++ NMS kernels:
+- 2D ``c_non_max_suppression_inds`` (stardist/lib/stardist2d.cpp:390-615):
+  greedy score-descending suppression with overlap criterion
+  ``A_inter / min(A_i, A_j) > thresh`` (exact Clipper polygon clipping).
+- 3D ``_COMMON_non_maximum_suppression_sparse``
+  (stardist/lib/stardist3d_impl.cpp:956-1385): same greedy loop with a
+  bound cascade + voxel-rendered exact overlap.
+
+Design: instead of per-pair exact clipping (irregular, host-bound), the
+pairwise intersection is measured on a sampling grid over the bbox
+intersection — continuous sub-pixel sampling in 2D, integer-lattice (voxel)
+counting in 3D to agree with the voxel rasterizer's notion of overlap.
+Areas/volumes in the denominator are analytic. The greedy pass is a
+sequential scan over the pre-computed boolean suppression matrix
+(``lax.fori_loop``), which reproduces the reference's greedy semantics
+exactly: a survivor suppresses all later overlapping candidates; suppressed
+candidates suppress nothing.
+
+Two execution paths:
+- dense (N <= dense_max): one jit call builds the full (N, N) overlap matrix
+  and runs the greedy scan on device.
+- blocked (large N): score-ordered blocks of rows are processed on device
+  against the currently-unsuppressed columns, with the greedy bookkeeping on
+  host — work shrinks as candidates get suppressed (mirrors the reference's
+  ``if suppressed[i]: continue`` row skipping).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .polygon import polygon_areas, polygon_bboxes, points_in_polygons
+from .polyhedron import (
+    polyhedron_bboxes,
+    polyhedron_face_inverses,
+    polyhedron_volumes,
+    points_in_polyhedra,
+)
+
+
+def _bucket(n, minimum=16):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad(x, n, value=0.0):
+    if x.shape[0] >= n:
+        return x
+    widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# greedy scan
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _greedy_scan(suppress_mat, valid):
+    """suppress_mat[i, j] True if candidate i would suppress j (i < j in
+    score order). Returns the boolean 'suppressed' vector."""
+    N = suppress_mat.shape[0]
+    idx = jnp.arange(N)
+
+    def body(i, suppressed):
+        row = suppress_mat[i] & (idx > i)
+        new = suppressed | row
+        keep_row = jnp.logical_not(suppressed[i]) & valid[i]
+        return jnp.where(keep_row, new, suppressed)
+
+    return jax.lax.fori_loop(0, N, body, ~valid)
+
+
+# ---------------------------------------------------------------------------
+# 2D
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
+    """Overlap criterion for a block of row candidates vs column candidates.
+
+    Returns bool (B, M): A_inter / min(A_r, A_c) > thresh, with A_inter
+    estimated on an S x S sub-pixel grid over the bbox intersection.
+    """
+    lo_r, hi_r = polygon_bboxes(dist_r, points_r)  # (B,2)
+    lo_c, hi_c = polygon_bboxes(dist_c, points_c)  # (M,2)
+    area_r = polygon_areas(dist_r)
+    area_c = polygon_areas(dist_c)
+
+    plo = jnp.maximum(lo_r[:, None], lo_c[None])   # (B,M,2)
+    phi = jnp.minimum(hi_r[:, None], hi_c[None])
+    ext = jnp.maximum(phi - plo, 0.0)
+
+    s = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    B, M = ext.shape[:2]
+    # query points (B,M,S,S,2): rows vary along axis -2, cols along axis -1
+    qr = plo[..., 0, None, None] + s[:, None] * ext[..., 0, None, None]  # (B,M,S,1)
+    qc = plo[..., 1, None, None] + s[None, :] * ext[..., 1, None, None]  # (B,M,1,S)
+    q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(B, M, S * S, 2)
+
+    in_r = points_in_polygons(
+        jnp.broadcast_to(dist_r[:, None], (B, M) + dist_r.shape[1:]),
+        jnp.broadcast_to(points_r[:, None], (B, M, 2)),
+        q,
+    )
+    in_c = points_in_polygons(
+        jnp.broadcast_to(dist_c[None], (B, M) + dist_c.shape[1:]),
+        jnp.broadcast_to(points_c[None], (B, M, 2)),
+        q,
+    )
+    frac = jnp.mean(in_r & in_c, axis=-1)
+    inter = frac * ext[..., 0] * ext[..., 1]
+    overlap = inter / (jnp.minimum(area_r[:, None], area_c[None]) + 1e-10)
+    return overlap > thresh
+
+
+def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
+                 use_kdtree=True, verbose=False, samples=16, dense_max=4096,
+                 row_block=16):
+    """Greedy NMS over score-sorted 2D star polygons. Returns bool survivors.
+
+    Candidates must already be sorted by descending score (same contract as
+    reference non_maximum_suppression_inds, stardist/nms.py:186-227).
+    """
+    dist = np.asarray(dist, np.float32)
+    points = np.asarray(points, np.float32)
+    N = len(dist)
+    if N == 0:
+        return np.zeros(0, bool)
+    if N == 1:
+        return np.ones(1, bool)
+    thresh = float(thresh)
+
+    if N <= dense_max:
+        Np = _bucket(N)
+        d = jnp.asarray(_pad(dist, Np))
+        p = jnp.asarray(_pad(points, Np, value=-1e6))
+        valid = jnp.arange(Np) < N
+        sup = _dense_suppression_2d(d, p, valid, samples, thresh, min(row_block, Np))
+        suppressed = np.asarray(_greedy_scan(sup, valid))
+        return ~suppressed[:N]
+
+    return _blocked_greedy(
+        lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
+        dist, points, thresh, row_block=row_block, verbose=verbose,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _dense_suppression_2d(dist, points, valid, S, thresh, row_block):
+    N = dist.shape[0]
+
+    def row_blocks(i, acc):
+        i0 = i * row_block
+        d_r = jax.lax.dynamic_slice_in_dim(dist, i0, row_block, 0)
+        p_r = jax.lax.dynamic_slice_in_dim(points, i0, row_block, 0)
+        blk = _overlap_block_2d(d_r, p_r, dist, points, S, thresh)
+        return jax.lax.dynamic_update_slice_in_dim(acc, blk, i0, 0)
+
+    acc0 = jnp.zeros((N, N), bool)
+    n_blocks = N // row_block
+    sup = jax.lax.fori_loop(0, n_blocks, row_blocks, acc0)
+    return sup & valid[None, :] & valid[:, None]
+
+
+# ---------------------------------------------------------------------------
+# 3D
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, thresh):
+    """Overlap for row vs column polyhedra blocks. Intersection counted on
+    the integer voxel lattice inside the bbox intersection (stride >= 1),
+    matching the rasterizer's voxel semantics; volumes analytic."""
+    lo_r, hi_r = polyhedron_bboxes(dist_r, points_r, ray_dirs)
+    lo_c, hi_c = polyhedron_bboxes(dist_c, points_c, ray_dirs)
+    vol_r = polyhedron_volumes(dist_r, ray_dirs, faces)
+    vol_c = polyhedron_volumes(dist_c, ray_dirs, faces)
+
+    plo = jnp.ceil(jnp.maximum(lo_r[:, None], lo_c[None]))   # (B,M,3)
+    phi = jnp.floor(jnp.minimum(hi_r[:, None], hi_c[None]))
+    n_vox = jnp.maximum(phi - plo + 1, 0.0)
+    stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)            # (B,M,3)
+
+    ar = jnp.arange(S, dtype=jnp.float32)
+    # positions per axis: (B,M,S)
+    pos = plo[..., :, None] + stride[..., :, None] * ar       # (B,M,3,S)
+    ok = pos <= phi[..., :, None]
+    B, M = plo.shape[:2]
+    qz = pos[..., 0, :][..., :, None, None]
+    qy = pos[..., 1, :][..., None, :, None]
+    qx = pos[..., 2, :][..., None, None, :]
+    q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(B, M, S ** 3, 3)
+    m = (
+        ok[..., 0, :][..., :, None, None]
+        & ok[..., 1, :][..., None, :, None]
+        & ok[..., 2, :][..., None, None, :]
+    ).reshape(B, M, S ** 3)
+
+    inv_r, val_r = polyhedron_face_inverses(dist_r, ray_dirs, faces)  # (B,F,3,3)
+    inv_c, val_c = polyhedron_face_inverses(dist_c, ray_dirs, faces)  # (M,F,3,3)
+    in_r = points_in_polyhedra(inv_r[:, None], val_r[:, None], points_r[:, None], q)
+    in_c = points_in_polyhedra(inv_c[None], val_c[None], points_c[None], q)
+
+    weight = stride[..., 0] * stride[..., 1] * stride[..., 2]
+    count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
+    inter = count * weight
+    overlap = inter / (jnp.minimum(vol_r[:, None], vol_c[None]) + 1e-10)
+    return overlap > thresh
+
+
+def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
+                  use_kdtree=True, verbose=False, samples=12, dense_max=512,
+                  row_block=8, col_block=128):
+    """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors."""
+    dist = np.asarray(dist, np.float32)
+    points = np.asarray(points, np.float32)
+    N = len(dist)
+    if N == 0:
+        return np.zeros(0, bool)
+    if N == 1:
+        return np.ones(1, bool)
+    thresh = float(thresh)
+    ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+    faces = jnp.asarray(np.asarray(rays.faces, np.int32))
+
+    overlap_fn = lambda dr, pr, dc, pc: _overlap_block_3d(
+        dr, pr, dc, pc, ray_dirs, faces, samples, thresh
+    )
+
+    if N <= dense_max:
+        # row/col-blocked dense matrix in a host loop (keeps memory bounded)
+        Np = _bucket(N, minimum=row_block)
+        d = _pad(dist, Np, value=1e-3)
+        p = _pad(points, Np, value=-1e6)
+        cb = min(col_block, Np)
+        sup = np.zeros((Np, Np), bool)
+        for i0 in range(0, Np, row_block):
+            for j0 in range(0, Np, cb):
+                blk = overlap_fn(
+                    jnp.asarray(d[i0:i0 + row_block]), jnp.asarray(p[i0:i0 + row_block]),
+                    jnp.asarray(d[j0:j0 + cb]), jnp.asarray(p[j0:j0 + cb]),
+                )
+                sup[i0:i0 + row_block, j0:j0 + cb] = np.asarray(blk)
+        valid = np.arange(Np) < N
+        sup &= valid[None, :] & valid[:, None]
+        suppressed = np.asarray(_greedy_scan(jnp.asarray(sup), jnp.asarray(valid)))
+        return ~suppressed[:N]
+
+    return _blocked_greedy(overlap_fn, dist, points, thresh,
+                           row_block=row_block, col_block=col_block, verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# blocked greedy driver (large candidate counts)
+# ---------------------------------------------------------------------------
+
+def _blocked_greedy(overlap_fn, dist, points, thresh, row_block=64,
+                    col_block=4096, verbose=False):
+    """Host-driven greedy NMS: process unsuppressed rows in score order in
+    blocks; columns shrink to the currently-unsuppressed tail."""
+    N = len(dist)
+    suppressed = np.zeros(N, bool)
+    pos = 0
+    while pos < N:
+        # next block of unsuppressed row candidates starting at pos
+        rows = np.flatnonzero(~suppressed[pos:])[:row_block] + pos
+        if len(rows) == 0:
+            break
+        # columns: unsuppressed candidates after the first row
+        cols = np.flatnonzero(~suppressed[rows[0] + 1:]) + rows[0] + 1
+        if len(cols) == 0:
+            break
+        Bp = _bucket(len(rows), minimum=8)
+        d_r = jnp.asarray(_pad(dist[rows], Bp, value=1e-3))
+        p_r = jnp.asarray(_pad(points[rows], Bp, value=-1e6))
+        blk = np.empty((len(rows), len(cols)), bool)
+        for j0 in range(0, len(cols), col_block):
+            cj = cols[j0:j0 + col_block]
+            Mp = _bucket(len(cj), minimum=64)
+            part = np.asarray(overlap_fn(
+                d_r, p_r,
+                jnp.asarray(_pad(dist[cj], Mp, value=1e-3)),
+                jnp.asarray(_pad(points[cj], Mp, value=-1e6)),
+            ))
+            blk[:, j0:j0 + len(cj)] = part[:len(rows), :len(cj)]
+        # sequential greedy inside the block (host)
+        for bi, i in enumerate(rows):
+            if suppressed[i]:
+                continue
+            js = cols[blk[bi] & ~suppressed[cols] & (cols > i)]
+            suppressed[js] = True
+        pos = rows[-1] + 1
+        if verbose:
+            print(f"NMS: processed up to {pos}/{N}, suppressed {suppressed.sum()}", flush=True)
+    return ~suppressed

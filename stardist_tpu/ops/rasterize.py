@@ -1,0 +1,176 @@
+"""Label-image rasterization of star polygons / polyhedra on TPU.
+
+TPU-native equivalent of the reference rasterizers:
+- 2D: skimage.draw.polygon loop in ``polygons_to_label_coord``
+  (stardist/geometry/geom2d.py:149-166) — later-rendered polygons overwrite.
+- 3D: C++ ``_COMMON_polyhedron_to_label`` (stardist/lib/
+  stardist3d_impl.cpp:1404-1525) — first-writer-wins on descending prob,
+  optional ``overlap_label`` for multiply-claimed voxels.
+
+Design: "splatting" — every candidate rasterizes a fixed-size local window
+around its center (vectorized inside test), then a scatter-max resolves the
+winner per pixel. Candidate order is encoded in integer order-values, so
+"later/earlier wins" becomes a max. This avoids any data-dependent loop and
+scales with sum of object areas, not image area x candidates.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .polygon import points_in_polygons
+from .polyhedron import points_in_polyhedra, polyhedron_face_inverses
+
+
+def _pad_to(x, n, axis=0, value=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist):
+    N = dist.shape[0]
+    img0 = jnp.zeros(shape, jnp.int32)
+    cnt0 = jnp.zeros(shape, jnp.int32)
+    ar = jnp.arange(W, dtype=jnp.int32)
+    inv_scale = jnp.asarray([1.0 / scale_dist[0], 1.0 / scale_dist[1]], jnp.float32)
+
+    def body(i, carry):
+        img, cnt = carry
+        d = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, 0)
+        p = jax.lax.dynamic_slice_in_dim(points, i * chunk, chunk, 0)
+        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk, 0)
+        start = jnp.round(p).astype(jnp.int32) - W // 2  # (chunk, 2)
+        rr = start[:, 0:1] + ar[None, :]                 # (chunk, W)
+        cc = start[:, 1:2] + ar[None, :]
+        q = jnp.stack(
+            jnp.broadcast_arrays(rr[:, :, None].astype(jnp.float32),
+                                 cc[:, None, :].astype(jnp.float32)),
+            axis=-1,
+        ).reshape(chunk, W * W, 2)
+        # anisotropic scale_dist: test in the unscaled polygon frame
+        q_rel = (q - p[:, None, :]) * inv_scale
+        inside = points_in_polygons(d, jnp.zeros_like(p), q_rel) & (v > 0)[:, None]
+        val_patch = jnp.where(inside, v[:, None], 0)
+        rr_full = jnp.broadcast_to(rr[:, :, None], (chunk, W, W)).reshape(-1)
+        cc_full = jnp.broadcast_to(cc[:, None, :], (chunk, W, W)).reshape(-1)
+        img = img.at[rr_full, cc_full].max(val_patch.reshape(-1), mode="drop")
+        cnt = cnt.at[rr_full, cc_full].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
+        return img, cnt
+
+    n_chunks = (N + chunk - 1) // chunk
+    return jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+
+
+def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256,
+                       scale_dist=(1, 1)):
+    """Rasterize star polygons; per pixel the candidate with the largest
+    positive ``order_values`` entry wins. Returns (winner_img, count_img)
+    as numpy int32 arrays; winner 0 = background."""
+    dist = np.asarray(dist, np.float32)
+    points = np.asarray(points, np.float32)
+    order_values = np.asarray(order_values, np.int32)
+    N = len(dist)
+    if N == 0:
+        return np.zeros(shape, np.int32), np.zeros(shape, np.int32)
+    if window is None:
+        window = 2 * int(np.ceil(dist.max() * max(scale_dist))) + 4
+    window = int(min(window, 2 * max(shape) + 4))
+    chunk = int(min(chunk, max(1, N)))
+    Np = ((N + chunk - 1) // chunk) * chunk
+    img, cnt = _raster2d_impl(
+        jnp.asarray(_pad_to(dist, Np)),
+        jnp.asarray(_pad_to(points, Np)),
+        jnp.asarray(_pad_to(order_values, Np)),
+        tuple(shape), window, chunk,
+        (float(scale_dist[0]), float(scale_dist[1])),
+    )
+    return np.asarray(img), np.asarray(cnt)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode):
+    N = dist.shape[0]
+    img0 = jnp.zeros(shape, jnp.int32)
+    cnt0 = jnp.zeros(shape, jnp.int32)
+    ar = jnp.arange(W, dtype=jnp.int32)
+
+    def body(i, carry):
+        img, cnt = carry
+        d = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, 0)
+        p = jax.lax.dynamic_slice_in_dim(points, i * chunk, chunk, 0)
+        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk, 0)
+        start = jnp.round(p).astype(jnp.int32) - W // 2  # (chunk, 3)
+        zz = start[:, 0:1] + ar[None, :]
+        yy = start[:, 1:2] + ar[None, :]
+        xx = start[:, 2:3] + ar[None, :]
+        q = jnp.stack(
+            jnp.broadcast_arrays(
+                zz[:, :, None, None].astype(jnp.float32),
+                yy[:, None, :, None].astype(jnp.float32),
+                xx[:, None, None, :].astype(jnp.float32),
+            ),
+            axis=-1,
+        ).reshape(chunk, W * W * W, 3)
+        if mode == "bbox":
+            v3 = d[..., None] * ray_dirs
+            lo = p + v3.min(axis=-2)
+            hi = p + v3.max(axis=-2)
+            inside = jnp.all((q >= lo[:, None, :]) & (q <= hi[:, None, :]), axis=-1)
+        elif mode == "kernel":
+            tri = (d[..., None] * ray_dirs)[..., faces, :]  # (chunk, F, 3, 3)
+            a, b, c = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+            n = jnp.cross(b - a, c - a)
+            off = jnp.sum(n * a, axis=-1)
+            sgn = jnp.where(off < 0, -1.0, 1.0)
+            n = n * sgn[..., None]
+            off = off * sgn
+            u = q[:, :, None, :] - p[:, None, None, :]
+            inside = jnp.all(jnp.sum(u * n[:, None], axis=-1) <= off[:, None] + 1e-6, axis=-1)
+        else:  # "full"
+            inv, valid = polyhedron_face_inverses(d, ray_dirs, faces)
+            inside = points_in_polyhedra(inv, valid, p, q)
+        inside = inside & (v > 0)[:, None]
+        val_patch = jnp.where(inside, v[:, None], 0)
+        zf = jnp.broadcast_to(zz[:, :, None, None], (chunk, W, W, W)).reshape(-1)
+        yf = jnp.broadcast_to(yy[:, None, :, None], (chunk, W, W, W)).reshape(-1)
+        xf = jnp.broadcast_to(xx[:, None, None, :], (chunk, W, W, W)).reshape(-1)
+        img = img.at[zf, yf, xf].max(val_patch.reshape(-1), mode="drop")
+        cnt = cnt.at[zf, yf, xf].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
+        return img, cnt
+
+    n_chunks = (N + chunk - 1) // chunk
+    return jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+
+
+def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
+                        chunk=8, mode="full"):
+    """Rasterize star polyhedra; per voxel the candidate with the largest
+    positive ``order_values`` entry wins. Returns (winner_img, count_img)."""
+    dist = np.asarray(dist, np.float32)
+    points = np.asarray(points, np.float32)
+    order_values = np.asarray(order_values, np.int32)
+    N = len(dist)
+    if N == 0:
+        return np.zeros(shape, np.int32), np.zeros(shape, np.int32)
+    if window is None:
+        window = 2 * int(np.ceil(dist.max())) + 4
+    window = int(min(window, 2 * max(shape) + 4))
+    chunk = int(min(chunk, max(1, N)))
+    Np = ((N + chunk - 1) // chunk) * chunk
+    img, cnt = _raster3d_impl(
+        jnp.asarray(_pad_to(dist, Np)),
+        jnp.asarray(_pad_to(points, Np)),
+        jnp.asarray(_pad_to(order_values, Np)),
+        jnp.asarray(np.asarray(rays.vertices, np.float32)),
+        jnp.asarray(np.asarray(rays.faces, np.int32)),
+        tuple(shape), window, chunk, mode,
+    )
+    return np.asarray(img), np.asarray(cnt)

@@ -1,0 +1,107 @@
+"""3D star-convex distance computation (ray casting) on TPU via JAX.
+
+TPU-native equivalent of the reference C++ kernel ``c_star_dist3d``
+(stardist/lib/stardist3d.cpp:245-346): per grid-th voxel, march along the
+given unit ray directions until leaving the object; the distance is computed
+from the *rounded* endpoint (no overshoot correction — a deliberate
+difference from 2D in the reference, stardist3d.cpp:317-320).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _star_dist3d_impl(lbl, dirs, grid, max_steps):
+    D, H, W = lbl.shape
+    gz, gy, gx = grid
+    vals = lbl[::gz, ::gy, ::gx]
+    Do, Ho, Wo = vals.shape
+    R = dirs.shape[0]
+
+    z0 = (jnp.arange(Do) * gz).astype(jnp.float32)
+    y0 = (jnp.arange(Ho) * gy).astype(jnp.float32)
+    x0 = (jnp.arange(Wo) * gx).astype(jnp.float32)
+
+    fg = vals > 0
+    done0 = jnp.broadcast_to(~fg[..., None], (Do, Ho, Wo, R))
+    dist0 = jnp.zeros((Do, Ho, Wo, R), jnp.float32)
+
+    def cond(carry):
+        t, done, _ = carry
+        return jnp.logical_and(t <= max_steps, ~jnp.all(done))
+
+    def body(carry):
+        t, done, dist = carry
+        tf = t.astype(jnp.float32)
+        # offsets along each ray at step t (float32, like the C++ accumulation)
+        oz = tf * dirs[:, 0]
+        oy = tf * dirs[:, 1]
+        ox = tf * dirs[:, 2]
+        ii = jnp.round(z0[:, None, None, None] + oz).astype(jnp.int32)
+        jj = jnp.round(y0[None, :, None, None] + oy).astype(jnp.int32)
+        kk = jnp.round(x0[None, None, :, None] + ox).astype(jnp.int32)
+        oob = (ii < 0) | (ii >= D) | (jj < 0) | (jj >= H) | (kk < 0) | (kk >= W)
+        lab = lbl[jnp.clip(ii, 0, D - 1), jnp.clip(jj, 0, H - 1), jnp.clip(kk, 0, W - 1)]
+        stop = oob | (lab != vals[..., None])
+        newly = stop & ~done
+        # distance from the *rounded* endpoint (reference stardist3d.cpp:317-320)
+        rz = jnp.round(oz)
+        ry = jnp.round(oy)
+        rx = jnp.round(ox)
+        d = jnp.sqrt(rz * rz + ry * ry + rx * rx)  # (R,)
+        dist = jnp.where(newly, d, dist)
+        return t + 1, done | stop, dist
+
+    _, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(1), done0, dist0))
+    return dist
+
+
+def star_dist3d_jax(lbl, rays, grid=(1, 1, 1), max_steps=None):
+    """Compute 3D star distances on device; returns numpy float32 of shape
+    ((D-1)//gz+1, (H-1)//gy+1, (W-1)//gx+1, n_rays)."""
+    lbl = np.asarray(lbl)
+    if max_steps is None:
+        max_steps = int(math.ceil(math.sqrt(sum(s * s for s in lbl.shape)))) + 2
+    dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+    out = _star_dist3d_impl(jnp.asarray(lbl.astype(np.int32)), dirs,
+                            tuple(int(g) for g in grid), int(max_steps))
+    return np.asarray(out)
+
+
+def star_dist3d_numpy(lbl, rays, grid=(1, 1, 1)):
+    """Pure-NumPy oracle with identical semantics to the C++ kernel."""
+    lbl = np.asarray(lbl)
+    D, H, W = lbl.shape
+    gz, gy, gx = grid
+    vals = lbl[::gz, ::gy, ::gx]
+    Do, Ho, Wo = vals.shape
+    dirs = np.asarray(rays.vertices, np.float32)
+    R = len(dirs)
+    dst = np.zeros((Do, Ho, Wo, R), np.float32)
+    for i in range(Do):
+        for j in range(Ho):
+            for k in range(Wo):
+                v = vals[i, j, k]
+                if v == 0:
+                    continue
+                for n in range(R):
+                    t = 0
+                    while True:
+                        t += 1
+                        tf = np.float32(t)
+                        oz, oy, ox = tf * dirs[n]
+                        ii = int(np.round(np.float32(i * gz) + oz))
+                        jj = int(np.round(np.float32(j * gy) + oy))
+                        kk = int(np.round(np.float32(k * gx) + ox))
+                        if (ii < 0 or ii >= D or jj < 0 or jj >= H
+                                or kk < 0 or kk >= W or lbl[ii, jj, kk] != v):
+                            rz, ry, rx = np.round(oz), np.round(oy), np.round(ox)
+                            dst[i, j, k, n] = np.sqrt(rz * rz + ry * ry + rx * rx)
+                            break
+    return dst
