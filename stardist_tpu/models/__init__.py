@@ -1,0 +1,81 @@
+"""Model registry and public model API (reference stardist/models/__init__.py)."""
+from __future__ import annotations
+
+import warnings
+
+from .base import StarDistBase, StarDistDataBase, StarDistPadAndCropResizer
+from .model2d import Config2D, StarDist2D, StarDistData2D
+from .model3d import Config3D, StarDist3D, StarDistData3D
+
+# pretrained model registry -------------------------------------------------
+# The reference registers downloadable pretrained models with URL+md5
+# (models/__init__.py:19-27). In this offline environment models must be
+# registered with a local path (directory containing config.json/weights);
+# the registry mechanics and aliases mirror the reference.
+
+_MODELS = {}
+_ALIASES = {}
+
+
+def register_model(cls, key, path_or_url, hash=None):
+    _MODELS.setdefault(cls.__name__, {})[key] = dict(source=path_or_url, hash=hash)
+
+
+def register_aliases(cls, key, *names):
+    for name in names:
+        _ALIASES.setdefault(cls.__name__, {})[name] = key
+
+
+def clear_models_and_aliases(*cls_list):
+    if len(cls_list) == 0:
+        _MODELS.clear()
+        _ALIASES.clear()
+    else:
+        for cls in cls_list:
+            _MODELS.pop(cls.__name__, None)
+            _ALIASES.pop(cls.__name__, None)
+
+
+def get_registered_models(cls, verbose=False):
+    models = _MODELS.get(cls.__name__, {})
+    aliases = _ALIASES.get(cls.__name__, {})
+    if verbose:
+        print(f"Registered models for '{cls.__name__}':")
+        for k in models:
+            names = [a for a, v in aliases.items() if v == k]
+            print(f"  {k}" + (f" (aliases: {', '.join(names)})" if names else ""))
+    return models, aliases
+
+
+def get_model_details(cls, key_or_alias, verbose=False):
+    models, aliases = get_registered_models(cls)
+    key = aliases.get(key_or_alias, key_or_alias)
+    if key not in models:
+        raise ValueError(f"'{key_or_alias}' is not a registered model for '{cls.__name__}'")
+    return key, models[key]
+
+
+def _from_pretrained(cls, name_or_alias):
+    from pathlib import Path
+    key, details = get_model_details(cls, name_or_alias)
+    source = Path(details["source"])
+    if not source.is_dir():
+        raise NotImplementedError(
+            f"pretrained model source '{source}' is not a local directory; "
+            "downloading from URLs is not available in this offline build")
+    return cls(None, name=source.name, basedir=str(source.parent))
+
+
+def _patch_from_pretrained():
+    def from_pretrained(cls, name_or_alias=None):
+        if name_or_alias is None:
+            get_registered_models(cls, verbose=True)
+            return None
+        return _from_pretrained(cls, name_or_alias)
+
+    StarDist2D.from_pretrained = classmethod(from_pretrained)
+    StarDist3D.from_pretrained = classmethod(from_pretrained)
+
+
+_patch_from_pretrained()
+del _patch_from_pretrained

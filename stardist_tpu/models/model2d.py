@@ -1,0 +1,343 @@
+"""2D StarDist model (reference stardist/models/model2d.py).
+
+``Config2D`` serializes to the same config.json schema as the reference
+(model2d.py:198-262), ``StarDistData2D`` generates (prob, dist+mask
+[, prob_class]) training targets, and ``StarDist2D`` wires the Flax network
+to the training loop and the TPU instance-prediction pipeline.
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+from scipy.ndimage import zoom
+
+from ..core.config import BaseConfig
+from ..core.axes import axes_check_and_normalize
+from ..geometry import star_dist, dist_to_coord, polygons_to_label
+from ..nms import non_maximum_suppression, non_maximum_suppression_sparse
+from ..sample_patches import sample_patches
+from ..utils import edt_prob, _normalize_grid, mask_to_categorical, clear_border
+from .base import StarDistBase, StarDistDataBase
+
+
+class StarDistData2D(StarDistDataBase):
+    """Training batch generator: random patches -> augmenter -> EDT prob +
+    star-dist targets (reference model2d.py:29-119). The star-dist target
+    computation runs on device (JAX ray-march kernel)."""
+
+    def __init__(self, X, Y, batch_size, n_rays, length, n_classes=None, classes=None,
+                 patch_size=(256, 256), b=32, grid=(1, 1), shape_completion=False,
+                 augmenter=None, foreground_prob=0, **kwargs):
+        super().__init__(X=X, Y=Y, n_rays=n_rays, grid=grid,
+                         n_classes=n_classes, classes=classes,
+                         batch_size=batch_size, patch_size=patch_size, length=length,
+                         augmenter=augmenter, foreground_prob=foreground_prob, **kwargs)
+
+        self.shape_completion = bool(shape_completion)
+        if self.shape_completion and b > 0:
+            if not all(b % g == 0 for g in self.grid):
+                raise ValueError(
+                    f"'shape_completion' requires that crop size {b} "
+                    f"('train_completion_crop' in config) is evenly divisible by all grid values {self.grid}")
+            self.b = slice(b, -b), slice(b, -b)
+        else:
+            self.b = slice(None), slice(None)
+
+        self.sd_mode = "jax"
+
+    def __getitem__(self, i):
+        idx = self.batch(i)
+        arrays = [
+            sample_patches((self.Y[k],) + self.channels_as_tuple(self.X[k]),
+                           patch_size=self.patch_size, n_samples=1,
+                           valid_inds=self.get_valid_inds(k))
+            for k in idx
+        ]
+
+        if self.n_channel is None:
+            X, Y = list(zip(*[(x[0][self.b], y[0]) for y, x in arrays]))
+        else:
+            X, Y = list(zip(*[
+                (np.stack([_x[0] for _x in x], axis=-1)[self.b], y[0]) for y, *x in arrays
+            ]))
+
+        X, Y = tuple(zip(*tuple(self.augmenter(_x, _y) for _x, _y in zip(X, Y))))
+
+        mask_neg_labels = tuple(y[self.b][self.ss_grid[1:3]] < 0 for y in Y)
+        has_neg_labels = any(m.any() for m in mask_neg_labels)
+        if has_neg_labels:
+            mask_neg_labels = np.stack(mask_neg_labels)
+            Y = tuple(np.maximum(y, 0) for y in Y)
+
+        prob = np.stack([edt_prob(lbl[self.b][self.ss_grid[1:3]]) for lbl in Y])
+
+        if self.shape_completion:
+            Y_cleared = [clear_border(lbl) for lbl in Y]
+            _dist = np.stack([
+                star_dist(lbl, self.n_rays, mode=self.sd_mode)[self.b + (slice(None),)]
+                for lbl in Y_cleared
+            ])
+            dist = _dist[self.ss_grid]
+            dist_mask = np.stack([edt_prob(lbl[self.b][self.ss_grid[1:3]]) for lbl in Y_cleared])
+        else:
+            dist = np.stack([
+                star_dist(lbl, self.n_rays, mode=self.sd_mode, grid=self.grid) for lbl in Y
+            ])
+            dist_mask = prob
+
+        X = np.stack(X)
+        if X.ndim == 3:  # no channel axis
+            X = np.expand_dims(X, -1)
+        prob = np.expand_dims(prob, -1)
+        dist_mask = np.expand_dims(dist_mask, -1)
+
+        # dist target carries the mask as an extra last channel
+        dist_and_mask = np.empty(dist.shape[:-1] + (self.n_rays + 1,), np.float32)
+        dist_and_mask[..., :-1] = dist
+        dist_and_mask[..., -1:] = dist_mask
+
+        if has_neg_labels:
+            prob[mask_neg_labels] = -1  # disables the loss at these pixels
+
+        if self.n_classes is None:
+            return (X,), (prob, dist_and_mask)
+
+        prob_class = np.stack(tuple(
+            mask_to_categorical(y[self.b], self.n_classes, self.classes[k])
+            for y, k in zip(Y, idx)
+        ))
+        prob_class = zoom(prob_class, (1,) + tuple(1 / g for g in self.grid) + (1,), order=0)
+        if has_neg_labels:
+            prob_class[mask_neg_labels] = -1
+        return (X,), (prob, dist_and_mask, prob_class)
+
+
+class Config2D(BaseConfig):
+    """Configuration for StarDist2D; same keys/defaults as the reference
+    Config2D (model2d.py:123-269), serialized verbatim to config.json."""
+
+    def __init__(self, axes="YX", n_rays=32, n_channel_in=1, grid=(1, 1),
+                 n_classes=None, backbone="unet", **kwargs):
+        super().__init__(axes=axes, n_channel_in=n_channel_in, n_channel_out=1 + n_rays)
+
+        self.n_rays = int(n_rays)
+        self.grid = _normalize_grid(grid, 2)
+        self.backbone = str(backbone).lower()
+        self.n_classes = None if n_classes is None else int(n_classes)
+
+        if self.backbone == "unet":
+            self.unet_n_depth = 3
+            self.unet_kernel_size = 3, 3
+            self.unet_n_filter_base = 32
+            self.unet_n_conv_per_depth = 2
+            self.unet_pool = 2, 2
+            self.unet_activation = "relu"
+            self.unet_last_activation = "relu"
+            self.unet_batch_norm = False
+            self.unet_dropout = 0.0
+            self.unet_prefix = ""
+            self.net_conv_after_unet = 128
+        else:
+            raise ValueError("backbone '%s' not supported." % self.backbone)
+
+        # channels-last (TPU native layout)
+        self.net_input_shape = None, None, self.n_channel_in
+        self.net_mask_shape = None, None, 1
+
+        self.train_shape_completion = False
+        self.train_completion_crop = 32
+        self.train_patch_size = 256, 256
+        self.train_background_reg = 1e-4
+        self.train_foreground_only = 0.9
+        self.train_sample_cache = True
+
+        self.train_dist_loss = "mae"
+        self.train_loss_weights = (1, 0.2) if self.n_classes is None else (1, 0.2, 1)
+        self.train_class_weights = (1, 1) if self.n_classes is None else (1,) * (self.n_classes + 1)
+        self.train_epochs = 400
+        self.train_steps_per_epoch = 100
+        self.train_learning_rate = 0.0003
+        self.train_batch_size = 4
+        self.train_n_val_patches = None
+        self.train_tensorboard = True
+        self.train_reduce_lr = {"factor": 0.5, "patience": 40, "min_delta": 0}
+
+        self.use_gpu = False
+
+        for k in ("n_dim", "n_channel_out"):
+            kwargs.pop(k, None)
+
+        self.update_parameters(False, **kwargs)
+
+        if not len(self.train_loss_weights) == (2 if self.n_classes is None else 3):
+            raise ValueError(
+                f"train_loss_weights {self.train_loss_weights} not compatible with "
+                f"n_classes ({self.n_classes}): must be 3 weights if n_classes is not None, otherwise 2")
+        if not len(self.train_class_weights) == (2 if self.n_classes is None else self.n_classes + 1):
+            raise ValueError(
+                f"train_class_weights {self.train_class_weights} not compatible with "
+                f"n_classes ({self.n_classes}): must be 'n_classes + 1' weights if "
+                f"n_classes is not None, otherwise 2")
+
+
+class StarDist2D(StarDistBase):
+    """2D StarDist model: Flax U-Net + TPU instance-prediction pipeline."""
+
+    def __init__(self, config="__default__", name=None, basedir="."):
+        # reference signature has config=Config2D() as default; config=None
+        # explicitly loads a saved model from basedir/name
+        if config == "__default__":
+            config = Config2D()
+        super().__init__(config, name=name, basedir=basedir)
+
+    def train(self, X, Y, validation_data, classes="auto", augmenter=None, seed=None,
+              epochs=None, steps_per_epoch=None, workers=1):
+        """Train the network (reference model2d.py:352-483).
+
+        Negative label values disable all losses at those pixels.
+        """
+        if seed is not None:
+            np.random.seed(seed)
+        if epochs is None:
+            epochs = self.config.train_epochs
+        if steps_per_epoch is None:
+            steps_per_epoch = self.config.train_steps_per_epoch
+
+        classes = self._parse_classes_arg(classes, len(X))
+        if not self._is_multiclass() and classes is not None:
+            warnings.warn("Ignoring given classes as n_classes is set to None")
+
+        if not isinstance(validation_data, (list, tuple)):
+            raise ValueError("validation_data must be a tuple/list")
+        if self._is_multiclass() and len(validation_data) == 2:
+            validation_data = tuple(validation_data) + ("auto",)
+        if len(validation_data) != (3 if self._is_multiclass() else 2):
+            raise ValueError(
+                f"len(validation_data) = {len(validation_data)}, but should be "
+                f"{3 if self._is_multiclass() else 2}")
+
+        patch_size = self.config.train_patch_size
+        axes = self.config.axes.replace("C", "")
+        b = self.config.train_completion_crop if self.config.train_shape_completion else 0
+        div_by = self._axes_div_by(axes)
+        for p, d, a in zip(patch_size, div_by, axes):
+            if (p - 2 * b) % d != 0:
+                raise ValueError(
+                    f"'train_patch_size' - 2*'train_completion_crop' must be divisible by {d} along axis '{a}'"
+                    if self.config.train_shape_completion else
+                    f"'train_patch_size' must be divisible by {d} along axis '{a}'")
+
+        if not self._model_prepared:
+            self.prepare_for_training()
+
+        data_kwargs = dict(
+            n_rays=self.config.n_rays,
+            patch_size=self.config.train_patch_size,
+            grid=self.config.grid,
+            shape_completion=self.config.train_shape_completion,
+            b=self.config.train_completion_crop,
+            use_gpu=self.config.use_gpu,
+            foreground_prob=self.config.train_foreground_only,
+            n_classes=self.config.n_classes,
+            sample_ind_cache=self.config.train_sample_cache,
+        )
+
+        n_data_val = len(validation_data[0])
+        classes_val = self._parse_classes_arg(validation_data[2], n_data_val) \
+            if self._is_multiclass() else None
+        n_take = self.config.train_n_val_patches if self.config.train_n_val_patches is not None else n_data_val
+        _data_val = StarDistData2D(validation_data[0], validation_data[1], classes=classes_val,
+                                   batch_size=n_take, length=1, **data_kwargs)
+        data_val = _data_val[0]
+
+        self.data_train = StarDistData2D(X, Y, classes=classes,
+                                         batch_size=self.config.train_batch_size,
+                                         augmenter=augmenter,
+                                         length=epochs * steps_per_epoch, **data_kwargs)
+
+        val_batch = _as_batch_dict(data_val, self._is_multiclass())
+        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass())
+        return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+
+    def _instances_from_prediction(self, img_shape, prob, dist, points=None,
+                                   prob_class=None, prob_thresh=None, nms_thresh=None,
+                                   overlap_label=None, return_labels=True, scale=None,
+                                   **nms_kwargs):
+        """NMS + rasterization -> (labels, polygon dict); reference
+        model2d.py:512-563."""
+        if prob_thresh is None:
+            prob_thresh = self.thresholds.prob
+        if nms_thresh is None:
+            nms_thresh = self.thresholds.nms
+        if overlap_label is not None:
+            raise NotImplementedError("overlap_label not supported for 2D yet!")
+
+        if points is not None:  # sparse
+            points, probi, disti, indsi = non_maximum_suppression_sparse(
+                dist, prob, points, nms_thresh=nms_thresh, **nms_kwargs)
+            if prob_class is not None:
+                prob_class = prob_class[indsi]
+        else:  # dense
+            points, probi, disti = non_maximum_suppression(
+                dist, prob, grid=self.config.grid,
+                prob_thresh=prob_thresh, nms_thresh=nms_thresh, **nms_kwargs)
+            if prob_class is not None:
+                inds = tuple(p // g for p, g in zip(points.T, self.config.grid))
+                prob_class = prob_class[inds]
+
+        if scale is not None:
+            if not (isinstance(scale, dict) and "X" in scale and "Y" in scale):
+                raise ValueError("scale must be a dictionary with entries for 'X' and 'Y'")
+            rescale = (1 / scale["Y"], 1 / scale["X"])
+            points = points * np.array(rescale).reshape(1, 2)
+        else:
+            rescale = (1, 1)
+
+        if return_labels:
+            labels = polygons_to_label(disti, points, prob=probi, shape=img_shape,
+                                       scale_dist=rescale)
+        else:
+            labels = None
+
+        coord = dist_to_coord(disti, points, scale_dist=rescale)
+        res_dict = dict(coord=coord, points=points, prob=probi)
+
+        if prob_class is not None:
+            prob_class = np.asarray(prob_class)
+            res_dict.update(dict(class_prob=prob_class, class_id=np.argmax(prob_class, axis=-1)))
+
+        return labels, res_dict
+
+    def _axes_div_by(self, query_axes):
+        if self.config.backbone != "unet":
+            raise NotImplementedError()
+        query_axes = axes_check_and_normalize(query_axes)
+        assert len(self.config.unet_pool) == len(self.config.grid)
+        div_by = dict(zip(
+            self.config.axes.replace("C", ""),
+            tuple(p ** self.config.unet_n_depth * g
+                  for p, g in zip(self.config.unet_pool, self.config.grid)),
+        ))
+        return tuple(div_by.get(a, 1) for a in query_axes)
+
+    @property
+    def _config_class(self):
+        return Config2D
+
+
+def _as_batch_dict(batch_tuple, multiclass):
+    (x,), targets = batch_tuple
+    d = {"x": x, "prob": targets[0], "dist": targets[1]}
+    if multiclass:
+        d["prob_class"] = targets[2]
+    return d
+
+
+class _BatchDictAdapter:
+    def __init__(self, seq, multiclass):
+        self.seq = seq
+        self.multiclass = multiclass
+
+    def __getitem__(self, i):
+        return _as_batch_dict(self.seq[i], self.multiclass)

@@ -1,0 +1,345 @@
+"""3D StarDist model (reference stardist/models/model3d.py).
+
+``Config3D`` serializes to the same config.json schema as the reference
+(model3d.py:214-311) including the rays JSON round trip; ``StarDist3D``
+supports both 'unet' and 'resnet' backbones.
+"""
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+from scipy.ndimage import zoom
+
+from ..core.config import BaseConfig
+from ..core.axes import axes_check_and_normalize
+from ..geometry import star_dist3D, polyhedron_to_label
+from ..matching import relabel_sequential
+from ..nms import non_maximum_suppression_3d, non_maximum_suppression_3d_sparse
+from ..rays3d import Rays_GoldenSpiral, rays_from_json
+from ..sample_patches import sample_patches
+from ..utils import edt_prob, _normalize_grid, mask_to_categorical
+from .base import StarDistBase, StarDistDataBase
+from .model2d import _as_batch_dict, _BatchDictAdapter
+
+
+class StarDistData3D(StarDistDataBase):
+    """Training batch generator for 3D (reference model3d.py:30-125)."""
+
+    def __init__(self, X, Y, batch_size, rays, length, n_classes=None, classes=None,
+                 patch_size=(128, 128, 128), grid=(1, 1, 1), anisotropy=None,
+                 augmenter=None, foreground_prob=0, **kwargs):
+        super().__init__(X=X, Y=Y, n_rays=len(rays), grid=grid,
+                         n_classes=n_classes, classes=classes,
+                         batch_size=batch_size, patch_size=patch_size, length=length,
+                         augmenter=augmenter, foreground_prob=foreground_prob, **kwargs)
+        self.rays = rays
+        self.anisotropy = anisotropy
+        self.sd_mode = "jax"
+
+    def __getitem__(self, i):
+        idx = self.batch(i)
+        arrays = [
+            sample_patches((self.Y[k],) + self.channels_as_tuple(self.X[k]),
+                           patch_size=self.patch_size, n_samples=1,
+                           valid_inds=self.get_valid_inds(k))
+            for k in idx
+        ]
+
+        if self.n_channel is None:
+            X, Y = list(zip(*[(x[0], y[0]) for y, x in arrays]))
+        else:
+            X, Y = list(zip(*[
+                (np.stack([_x[0] for _x in x], axis=-1), y[0]) for y, *x in arrays
+            ]))
+
+        X, Y = tuple(zip(*tuple(self.augmenter(_x, _y) for _x, _y in zip(X, Y))))
+
+        mask_neg_labels = tuple(y[self.ss_grid[1:4]] < 0 for y in Y)
+        has_neg_labels = any(m.any() for m in mask_neg_labels)
+        if has_neg_labels:
+            mask_neg_labels = np.stack(mask_neg_labels)
+            Y = tuple(np.maximum(y, 0) for y in Y)
+
+        # note: in 3D the EDT is computed at full resolution and then grid-
+        # subsampled (unlike 2D; reference model3d.py:87-92)
+        prob = np.stack([
+            edt_prob(lbl, anisotropy=self.anisotropy)[self.ss_grid[1:4]] for lbl in Y
+        ])
+        dist = np.stack([
+            star_dist3D(lbl, self.rays, mode=self.sd_mode, grid=self.grid) for lbl in Y
+        ])
+        dist_mask = prob
+
+        X = np.stack(X)
+        if X.ndim == 4:  # input has no channel axis
+            X = np.expand_dims(X, -1)
+        prob = np.expand_dims(prob, -1)
+        dist_mask = np.expand_dims(dist_mask, -1)
+
+        dist_and_mask = np.empty(dist.shape[:-1] + (self.n_rays + 1,), np.float32)
+        dist_and_mask[..., :-1] = dist
+        dist_and_mask[..., -1:] = dist_mask
+
+        if has_neg_labels:
+            prob[mask_neg_labels] = -1
+
+        if self.n_classes is None:
+            return (X,), (prob, dist_and_mask)
+
+        prob_class = np.stack(tuple(
+            mask_to_categorical(y, self.n_classes, self.classes[k])
+            for y, k in zip(Y, idx)
+        ))
+        prob_class = zoom(prob_class, (1,) + tuple(1 / g for g in self.grid) + (1,), order=0)
+        if has_neg_labels:
+            prob_class[mask_neg_labels] = -1
+        return (X,), (prob, dist_and_mask, prob_class)
+
+
+class Config3D(BaseConfig):
+    """Configuration for StarDist3D; same keys/defaults as reference Config3D."""
+
+    def __init__(self, axes="ZYX", rays=None, n_channel_in=1, grid=(1, 1, 1),
+                 n_classes=None, anisotropy=None, backbone="unet", **kwargs):
+        if rays is None:
+            if "rays_json" in kwargs:
+                rays = rays_from_json(kwargs["rays_json"])
+            elif "n_rays" in kwargs:
+                rays = Rays_GoldenSpiral(kwargs["n_rays"])
+            else:
+                rays = Rays_GoldenSpiral(96)
+        elif np.isscalar(rays):
+            rays = Rays_GoldenSpiral(rays)
+
+        super().__init__(axes=axes, n_channel_in=n_channel_in, n_channel_out=1 + len(rays))
+
+        self.n_rays = len(rays)
+        self.grid = _normalize_grid(grid, 3)
+        self.anisotropy = anisotropy if anisotropy is None else tuple(anisotropy)
+        self.backbone = str(backbone).lower()
+        self.rays_json = rays.to_json()
+        self.n_classes = None if n_classes is None else int(n_classes)
+
+        if "anisotropy" in self.rays_json["kwargs"]:
+            if self.rays_json["kwargs"]["anisotropy"] is None and self.anisotropy is not None:
+                self.rays_json["kwargs"]["anisotropy"] = self.anisotropy
+                print("Changing 'anisotropy' of rays to %s" % str(anisotropy))
+            elif self.rays_json["kwargs"]["anisotropy"] != self.anisotropy:
+                warnings.warn("Mismatch of 'anisotropy' of rays and 'anisotropy'.")
+
+        if self.backbone == "unet":
+            self.unet_n_depth = 2
+            self.unet_kernel_size = 3, 3, 3
+            self.unet_n_filter_base = 32
+            self.unet_n_conv_per_depth = 2
+            self.unet_pool = 2, 2, 2
+            self.unet_activation = "relu"
+            self.unet_last_activation = "relu"
+            self.unet_batch_norm = False
+            self.unet_dropout = 0.0
+            self.unet_prefix = ""
+            self.net_conv_after_unet = 128
+        elif self.backbone == "resnet":
+            self.resnet_n_blocks = 4
+            self.resnet_kernel_size = 3, 3, 3
+            self.resnet_kernel_init = "he_normal"
+            self.resnet_n_filter_base = 32
+            self.resnet_n_conv_per_block = 3
+            self.resnet_activation = "relu"
+            self.resnet_batch_norm = False
+            self.net_conv_after_resnet = 128
+        else:
+            raise ValueError("backbone '%s' not supported." % self.backbone)
+
+        self.net_input_shape = None, None, None, self.n_channel_in
+        self.net_mask_shape = None, None, None, 1
+
+        self.train_patch_size = 128, 128, 128
+        self.train_background_reg = 1e-4
+        self.train_foreground_only = 0.9
+        self.train_sample_cache = True
+
+        self.train_dist_loss = "mae"
+        self.train_loss_weights = (1, 0.2) if self.n_classes is None else (1, 0.2, 1)
+        self.train_class_weights = (1, 1) if self.n_classes is None else (1,) * (self.n_classes + 1)
+        self.train_epochs = 400
+        self.train_steps_per_epoch = 100
+        self.train_learning_rate = 0.0003
+        self.train_batch_size = 1
+        self.train_n_val_patches = None
+        self.train_tensorboard = True
+        self.train_reduce_lr = {"factor": 0.5, "patience": 40, "min_delta": 0}
+
+        self.use_gpu = False
+
+        for k in ("n_dim", "n_channel_out", "n_rays", "rays_json"):
+            kwargs.pop(k, None)
+
+        self.update_parameters(False, **kwargs)
+
+        if not len(self.train_loss_weights) == (2 if self.n_classes is None else 3):
+            raise ValueError(
+                f"train_loss_weights {self.train_loss_weights} not compatible with "
+                f"n_classes ({self.n_classes})")
+        if not len(self.train_class_weights) == (2 if self.n_classes is None else self.n_classes + 1):
+            raise ValueError(
+                f"train_class_weights {self.train_class_weights} not compatible with "
+                f"n_classes ({self.n_classes})")
+
+
+class StarDist3D(StarDistBase):
+    """3D StarDist model with unet/resnet backbones."""
+
+    def __init__(self, config="__default__", name=None, basedir="."):
+        if config == "__default__":
+            config = Config3D()
+        super().__init__(config, name=name, basedir=basedir)
+
+    @property
+    def rays(self):
+        return rays_from_json(self.config.rays_json)
+
+    def train(self, X, Y, validation_data, classes="auto", augmenter=None, seed=None,
+              epochs=None, steps_per_epoch=None, workers=1):
+        """Train the network (reference model3d.py:450-586)."""
+        if seed is not None:
+            np.random.seed(seed)
+        if epochs is None:
+            epochs = self.config.train_epochs
+        if steps_per_epoch is None:
+            steps_per_epoch = self.config.train_steps_per_epoch
+
+        classes = self._parse_classes_arg(classes, len(X))
+        if not self._is_multiclass() and classes is not None:
+            warnings.warn("Ignoring given classes as n_classes is set to None")
+
+        if not isinstance(validation_data, (list, tuple)):
+            raise ValueError("validation_data must be a tuple/list")
+        if self._is_multiclass() and len(validation_data) == 2:
+            validation_data = tuple(validation_data) + ("auto",)
+        if len(validation_data) != (3 if self._is_multiclass() else 2):
+            raise ValueError(
+                f"len(validation_data) = {len(validation_data)}, but should be "
+                f"{3 if self._is_multiclass() else 2}")
+
+        patch_size = self.config.train_patch_size
+        axes = self.config.axes.replace("C", "")
+        div_by = self._axes_div_by(axes)
+        for p, d, a in zip(patch_size, div_by, axes):
+            if p % d != 0:
+                raise ValueError(f"'train_patch_size' must be divisible by {d} along axis '{a}'")
+
+        if not self._model_prepared:
+            self.prepare_for_training()
+
+        data_kwargs = dict(
+            rays=rays_from_json(self.config.rays_json),
+            grid=self.config.grid,
+            patch_size=self.config.train_patch_size,
+            anisotropy=self.config.anisotropy,
+            use_gpu=self.config.use_gpu,
+            foreground_prob=self.config.train_foreground_only,
+            n_classes=self.config.n_classes,
+            sample_ind_cache=self.config.train_sample_cache,
+        )
+
+        n_data_val = len(validation_data[0])
+        classes_val = self._parse_classes_arg(validation_data[2], n_data_val) \
+            if self._is_multiclass() else None
+        n_take = self.config.train_n_val_patches if self.config.train_n_val_patches is not None else n_data_val
+        _data_val = StarDistData3D(validation_data[0], validation_data[1], classes=classes_val,
+                                   batch_size=n_take, length=1, **data_kwargs)
+        data_val = _data_val[0]
+
+        self.data_train = StarDistData3D(X, Y, classes=classes,
+                                         batch_size=self.config.train_batch_size,
+                                         augmenter=augmenter,
+                                         length=epochs * steps_per_epoch, **data_kwargs)
+
+        val_batch = _as_batch_dict(data_val, self._is_multiclass())
+        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass())
+        return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+
+    def _instances_from_prediction(self, img_shape, prob, dist, points=None,
+                                   prob_class=None, prob_thresh=None, nms_thresh=None,
+                                   overlap_label=None, return_labels=True, scale=None,
+                                   **nms_kwargs):
+        """NMS + rasterization -> (labels, polyhedra dict); reference
+        model3d.py:589-674."""
+        if prob_thresh is None:
+            prob_thresh = self.thresholds.prob
+        if nms_thresh is None:
+            nms_thresh = self.thresholds.nms
+
+        rays = rays_from_json(self.config.rays_json)
+
+        if points is not None:  # sparse
+            points, probi, disti, indsi = non_maximum_suppression_3d_sparse(
+                dist, prob, points, rays, nms_thresh=nms_thresh, **nms_kwargs)
+            if prob_class is not None:
+                prob_class = prob_class[indsi]
+        else:  # dense
+            points, probi, disti = non_maximum_suppression_3d(
+                dist, prob, rays, grid=self.config.grid,
+                prob_thresh=prob_thresh, nms_thresh=nms_thresh, **nms_kwargs)
+            if prob_class is not None:
+                inds = tuple(p // g for p, g in zip(points.T, self.config.grid))
+                prob_class = prob_class[inds]
+
+        verbose = nms_kwargs.get("verbose", False)
+        verbose and print("render polygons...")
+
+        if scale is not None:
+            if not (isinstance(scale, dict) and all(a in scale for a in "XYZ")):
+                raise ValueError("scale must be a dictionary with entries for 'X', 'Y', and 'Z'")
+            rescale = (1 / scale["Z"], 1 / scale["Y"], 1 / scale["X"])
+            points = points * np.array(rescale).reshape(1, 3)
+            rays = rays.copy(scale=rescale)
+        else:
+            rescale = (1, 1, 1)
+
+        if return_labels:
+            labels = polyhedron_to_label(disti, points, rays=rays, prob=probi,
+                                         shape=img_shape, overlap_label=overlap_label,
+                                         verbose=verbose)
+            # relabel (keeping the overlap_label, which may be negative)
+            if overlap_label is not None and overlap_label < 0 and (overlap_label in labels):
+                overlap_mask = labels == overlap_label
+                overlap_label2 = max(set(np.unique(labels)) - {overlap_label}) + 1
+                labels[overlap_mask] = overlap_label2
+                labels, fwd, _ = relabel_sequential(labels)
+                labels[labels == fwd[overlap_label2]] = overlap_label
+            else:
+                labels, _, _ = relabel_sequential(labels)
+        else:
+            labels = None
+
+        res_dict = dict(dist=disti, points=points, prob=probi, rays=rays,
+                        rays_vertices=rays.vertices, rays_faces=rays.faces)
+
+        if prob_class is not None:
+            prob_class = np.asarray(prob_class)
+            res_dict.update(dict(class_prob=prob_class, class_id=np.argmax(prob_class, axis=-1)))
+
+        return labels, res_dict
+
+    def _axes_div_by(self, query_axes):
+        if self.config.backbone == "unet":
+            query_axes = axes_check_and_normalize(query_axes)
+            assert len(self.config.unet_pool) == len(self.config.grid)
+            div_by = dict(zip(
+                self.config.axes.replace("C", ""),
+                tuple(p ** self.config.unet_n_depth * g
+                      for p, g in zip(self.config.unet_pool, self.config.grid)),
+            ))
+            return tuple(div_by.get(a, 1) for a in query_axes)
+        elif self.config.backbone == "resnet":
+            grid_dict = dict(zip(self.config.axes.replace("C", ""), self.config.grid))
+            return tuple(grid_dict.get(a, 1) for a in query_axes)
+        else:
+            raise NotImplementedError()
+
+    @property
+    def _config_class(self):
+        return Config3D

@@ -38,6 +38,7 @@ from .polygon import polygon_areas, polygon_bboxes, points_in_polygons
 from .polyhedron import (
     polyhedron_bboxes,
     polyhedron_face_inverses,
+    polyhedron_inner_radius,
     polyhedron_volumes,
     points_in_polyhedra,
 )
@@ -55,6 +56,86 @@ def _pad(x, n, value=0.0):
         return x
     widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
     return np.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# analytic bounds (cheap pre-pass; reference cascade stages 1-2,
+# stardist3d_impl.cpp:1209-1330)
+# ---------------------------------------------------------------------------
+
+def _lens_area_2d(r1, r2, d):
+    """Intersection area of two discs."""
+    d = jnp.maximum(d, 1e-6)
+    rmin = jnp.minimum(r1, r2)
+    full = np.pi * rmin ** 2
+    c1 = jnp.clip((d ** 2 + r1 ** 2 - r2 ** 2) / (2 * d * jnp.maximum(r1, 1e-6)), -1, 1)
+    c2 = jnp.clip((d ** 2 + r2 ** 2 - r1 ** 2) / (2 * d * jnp.maximum(r2, 1e-6)), -1, 1)
+    t = (-d + r1 + r2) * (d + r1 - r2) * (d - r1 + r2) * (d + r1 + r2)
+    lens = (r1 ** 2 * jnp.arccos(c1) + r2 ** 2 * jnp.arccos(c2)
+            - 0.5 * jnp.sqrt(jnp.maximum(t, 0.0)))
+    out = jnp.where(d >= r1 + r2, 0.0, jnp.where(d <= jnp.abs(r1 - r2), full, lens))
+    return out
+
+
+def _lens_volume_3d(r1, r2, d):
+    """Intersection volume of two balls."""
+    d = jnp.maximum(d, 1e-6)
+    rmin = jnp.minimum(r1, r2)
+    full = 4.0 / 3.0 * np.pi * rmin ** 3
+    lens = (np.pi * (r1 + r2 - d) ** 2
+            * (d ** 2 + 2 * d * (r1 + r2) - 3 * (r1 ** 2 + r2 ** 2) + 6 * r1 * r2)
+            / (12 * d))
+    return jnp.where(d >= r1 + r2, 0.0, jnp.where(d <= jnp.abs(r1 - r2), full, lens))
+
+
+def _inner_radius_2d(dist):
+    """Lower bound of the polygon inradius: min distance from the center to
+    any edge's supporting line."""
+    R = dist.shape[-1]
+    dphi = 2 * np.pi / R
+    d0 = dist
+    d1 = jnp.roll(dist, -1, axis=-1)
+    chord = jnp.sqrt(jnp.maximum(d0 ** 2 + d1 ** 2 - 2 * d0 * d1 * np.cos(dphi), 1e-12))
+    return jnp.min(d0 * d1 * np.sin(dphi) / chord, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _bounds_block_2d(dist_r, points_r, dist_c, points_c, thresh):
+    """(definite_suppress, definite_keep) bool (B, M) from disc/bbox bounds."""
+    area_r = polygon_areas(dist_r)
+    area_c = polygon_areas(dist_c)
+    rin_r = _inner_radius_2d(dist_r)
+    rin_c = _inner_radius_2d(dist_c)
+    rout_r = jnp.max(dist_r, axis=-1)
+    rout_c = jnp.max(dist_c, axis=-1)
+    lo_r, hi_r = polygon_bboxes(dist_r, points_r)
+    lo_c, hi_c = polygon_bboxes(dist_c, points_c)
+    ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi_c[None]) - jnp.maximum(lo_r[:, None], lo_c[None]), 0.0)
+    bbox_inter = ext[..., 0] * ext[..., 1]
+    dc = jnp.sqrt(jnp.sum((points_r[:, None] - points_c[None]) ** 2, axis=-1))
+    denom = jnp.minimum(area_r[:, None], area_c[None]) + 1e-10
+    ub = jnp.minimum(_lens_area_2d(rout_r[:, None], rout_c[None], dc), bbox_inter) / denom
+    lb = _lens_area_2d(rin_r[:, None], rin_c[None], dc) / denom
+    return lb > thresh, ub <= thresh
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _bounds_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, thresh):
+    vol_r = polyhedron_volumes(dist_r, ray_dirs, faces)
+    vol_c = polyhedron_volumes(dist_c, ray_dirs, faces)
+    rin_r = polyhedron_inner_radius(dist_r, ray_dirs, faces)
+    rin_c = polyhedron_inner_radius(dist_c, ray_dirs, faces)
+    rout_r = jnp.max(dist_r, axis=-1)
+    rout_c = jnp.max(dist_c, axis=-1)
+    lo_r, hi_r = polyhedron_bboxes(dist_r, points_r, ray_dirs)
+    lo_c, hi_c = polyhedron_bboxes(dist_c, points_c, ray_dirs)
+    ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi_c[None]) - jnp.maximum(lo_r[:, None], lo_c[None]), 0.0)
+    bbox_inter = ext[..., 0] * ext[..., 1] * ext[..., 2]
+    dc = jnp.sqrt(jnp.sum((points_r[:, None] - points_c[None]) ** 2, axis=-1))
+    denom = jnp.minimum(vol_r[:, None], vol_c[None]) + 1e-10
+    ub = jnp.minimum(_lens_volume_3d(rout_r[:, None], rout_c[None], dc), bbox_inter) / denom
+    lb = _lens_volume_3d(rin_r[:, None], rin_c[None], dc) / denom
+    return lb > thresh, ub <= thresh
 
 
 # ---------------------------------------------------------------------------
@@ -121,12 +202,16 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
 
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
-                 use_kdtree=True, verbose=False, samples=16, dense_max=4096,
+                 use_kdtree=True, verbose=False, samples=16, dense_max=None,
                  row_block=16):
     """Greedy NMS over score-sorted 2D star polygons. Returns bool survivors.
 
     Candidates must already be sorted by descending score (same contract as
     reference non_maximum_suppression_inds, stardist/nms.py:186-227).
+
+    dense path (one jit call, default on TPU): full suppression matrix +
+    device greedy scan. blocked path (default on CPU): host-driven greedy
+    that skips suppressed rows, mirroring the reference's row skipping.
     """
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
@@ -136,6 +221,8 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     if N == 1:
         return np.ones(1, bool)
     thresh = float(thresh)
+    if dense_max is None:
+        dense_max = 8192 if jax.default_backend() == "tpu" else 256
 
     if N <= dense_max:
         Np = _bucket(N)
@@ -149,6 +236,7 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     return _blocked_greedy(
         lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
         dist, points, thresh, row_block=row_block, verbose=verbose,
+        bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
     )
 
 
@@ -216,7 +304,7 @@ def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, th
 
 
 def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
-                  use_kdtree=True, verbose=False, samples=12, dense_max=512,
+                  use_kdtree=True, verbose=False, samples=12, dense_max=None,
                   row_block=8, col_block=128):
     """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors."""
     dist = np.asarray(dist, np.float32)
@@ -227,6 +315,8 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
     if N == 1:
         return np.ones(1, bool)
     thresh = float(thresh)
+    if dense_max is None:
+        dense_max = 512 if jax.default_backend() == "tpu" else 32
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
 
@@ -253,8 +343,12 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
         suppressed = np.asarray(_greedy_scan(jnp.asarray(sup), jnp.asarray(valid)))
         return ~suppressed[:N]
 
-    return _blocked_greedy(overlap_fn, dist, points, thresh,
-                           row_block=row_block, col_block=col_block, verbose=verbose)
+    return _blocked_greedy(
+        overlap_fn, dist, points, thresh,
+        row_block=row_block, col_block=col_block, verbose=verbose,
+        bounds_fn=lambda dr, pr, dc, pc: _bounds_block_3d(
+            dr, pr, dc, pc, ray_dirs, faces, thresh),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -262,21 +356,16 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
 # ---------------------------------------------------------------------------
 
 def _blocked_greedy(overlap_fn, dist, points, thresh, row_block=64,
-                    col_block=4096, verbose=False):
+                    col_block=4096, verbose=False, bounds_fn=None):
     """Host-driven greedy NMS: process unsuppressed rows in score order in
-    blocks; columns shrink to the currently-unsuppressed tail."""
+    blocks; columns shrink to the currently-unsuppressed tail. When
+    ``bounds_fn`` is given, cheap analytic bounds decide most pairs and the
+    exact sampled overlap runs only on the ambiguous columns (reference
+    cascade, stardist3d_impl.cpp:1209-1330)."""
     N = len(dist)
     suppressed = np.zeros(N, bool)
-    pos = 0
-    while pos < N:
-        # next block of unsuppressed row candidates starting at pos
-        rows = np.flatnonzero(~suppressed[pos:])[:row_block] + pos
-        if len(rows) == 0:
-            break
-        # columns: unsuppressed candidates after the first row
-        cols = np.flatnonzero(~suppressed[rows[0] + 1:]) + rows[0] + 1
-        if len(cols) == 0:
-            break
+
+    def _suppress_matrix(rows, cols):
         Bp = _bucket(len(rows), minimum=8)
         d_r = jnp.asarray(_pad(dist[rows], Bp, value=1e-3))
         p_r = jnp.asarray(_pad(points[rows], Bp, value=-1e6))
@@ -284,12 +373,38 @@ def _blocked_greedy(overlap_fn, dist, points, thresh, row_block=64,
         for j0 in range(0, len(cols), col_block):
             cj = cols[j0:j0 + col_block]
             Mp = _bucket(len(cj), minimum=64)
-            part = np.asarray(overlap_fn(
-                d_r, p_r,
-                jnp.asarray(_pad(dist[cj], Mp, value=1e-3)),
-                jnp.asarray(_pad(points[cj], Mp, value=-1e6)),
-            ))
-            blk[:, j0:j0 + len(cj)] = part[:len(rows), :len(cj)]
+            d_c = jnp.asarray(_pad(dist[cj], Mp, value=1e-3))
+            p_c = jnp.asarray(_pad(points[cj], Mp, value=-1e6))
+            if bounds_fn is not None:
+                sup_lb, keep_ub = bounds_fn(d_r, p_r, d_c, p_c)
+                sup_lb = np.asarray(sup_lb)[:len(rows), :len(cj)]
+                keep_ub = np.asarray(keep_ub)[:len(rows), :len(cj)]
+                ambiguous = ~sup_lb & ~keep_ub
+                part = sup_lb.copy()
+                amb_cols = np.flatnonzero(ambiguous.any(axis=0))
+                if len(amb_cols):
+                    Ap = _bucket(len(amb_cols), minimum=64)
+                    exact = np.asarray(overlap_fn(
+                        d_r, p_r,
+                        jnp.asarray(_pad(dist[cj[amb_cols]], Ap, value=1e-3)),
+                        jnp.asarray(_pad(points[cj[amb_cols]], Ap, value=-1e6)),
+                    ))[:len(rows), :len(amb_cols)]
+                    part[:, amb_cols] = np.where(
+                        ambiguous[:, amb_cols], exact, part[:, amb_cols])
+            else:
+                part = np.asarray(overlap_fn(d_r, p_r, d_c, p_c))[:len(rows), :len(cj)]
+            blk[:, j0:j0 + len(cj)] = part
+        return blk
+
+    pos = 0
+    while pos < N:
+        rows = np.flatnonzero(~suppressed[pos:])[:row_block] + pos
+        if len(rows) == 0:
+            break
+        cols = np.flatnonzero(~suppressed[rows[0] + 1:]) + rows[0] + 1
+        if len(cols) == 0:
+            break
+        blk = _suppress_matrix(rows, cols)
         # sequential greedy inside the block (host)
         for bi, i in enumerate(rows):
             if suppressed[i]:

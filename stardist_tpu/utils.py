@@ -161,6 +161,24 @@ def fill_label_holes(lbl_img, **kwargs):
     return filled
 
 
+def clear_border(lbl):
+    """Remove objects touching the image border (skimage.segmentation.clear_border
+    replacement, used for shape-completion training; reference model2d.py:76)."""
+    border = np.zeros(lbl.shape, bool)
+    for ax in range(lbl.ndim):
+        sl0 = [slice(None)] * lbl.ndim
+        sl1 = [slice(None)] * lbl.ndim
+        sl0[ax] = 0
+        sl1[ax] = -1
+        border[tuple(sl0)] = True
+        border[tuple(sl1)] = True
+    touching = np.unique(lbl[border & (lbl > 0)])
+    out = lbl.copy()
+    if len(touching):
+        out[np.isin(out, touching)] = 0
+    return out
+
+
 def sample_points(n_samples, mask, prob=None, b=2):
     """Sample point locations from a boolean mask (away from the border)."""
     if b is not None and b > 0:
