@@ -1,0 +1,95 @@
+"""Benchmark: 2D instance segmentation throughput on one TPU chip.
+
+Times the flagship end-to-end path — `StarDist2D.predict_instances` on a
+4096x4096 synthetic fluorescence nuclei image (forward U-Net + on-device
+sparse candidate extraction + TPU NMS + TPU rasterization) — and prints one
+JSON line. Baseline target (BASELINE.md): 4096^2 in <100 ms on one v5e chip
+=> 167.77 Mpix/s.
+
+A tiny seeded training run first gives the network realistic response
+statistics (so candidate counts and NMS/rasterize load resemble production
+rather than a random net).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _synthetic_nuclei(shape, seed, r_range=(7, 14), density=6e-4):
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(seed)
+    lbl = np.zeros(shape, np.int32)
+    n = int(density * shape[0] * shape[1])
+    yy, xx = np.mgrid[: 64, : 64]  # local stamp
+    k = 0
+    for _ in range(n):
+        r = rng.uniform(*r_range)
+        cy = rng.uniform(r, shape[0] - r)
+        cx = rng.uniform(r, shape[1] - r)
+        y0, x0 = int(cy) - 32, int(cx) - 32
+        if y0 < 0 or x0 < 0 or y0 + 64 > shape[0] or x0 + 64 > shape[1]:
+            continue
+        mask = ((yy - (cy - y0)) ** 2 + (xx - (cx - x0)) ** 2) < r ** 2
+        region = lbl[y0:y0 + 64, x0:x0 + 64]
+        if (region[mask] > 0).any():
+            continue
+        k += 1
+        region[mask] = k
+    img = (lbl > 0).astype(np.float32)
+    img = gaussian_filter(img, 1.5)
+    img += 0.05 * rng.normal(size=shape).astype(np.float32)
+    return img.astype(np.float32), lbl
+
+
+def main():
+    import jax
+    from stardist_tpu.models import Config2D, StarDist2D
+
+    np.random.seed(0)
+
+    # -- tiny seeded training for realistic response statistics -------------
+    imgs, lbls = [], []
+    for i in range(4):
+        img, lbl = _synthetic_nuclei((256, 256), seed=i)
+        imgs.append(img)
+        lbls.append(lbl)
+    cfg = Config2D(n_rays=32, grid=(2, 2), train_patch_size=(256, 256),
+                   train_batch_size=4, train_reduce_lr=None)
+    model = StarDist2D(cfg, name="bench2d", basedir=None)
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]),
+                seed=0, epochs=2, steps_per_epoch=25)
+
+    # -- benchmark image -----------------------------------------------------
+    H = W = 4096
+    img, _ = _synthetic_nuclei((H, W), seed=123)
+
+    def run():
+        labels, polys = model.predict_instances(img, prob_thresh=0.5, show_tile_progress=False)
+        return labels, polys
+
+    # warmup (compilation)
+    labels, polys = run()
+    n_obj = len(polys["prob"])
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        labels, polys = run()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    mpix_per_s = (H * W / 1e6) / t
+    baseline = (H * W / 1e6) / 0.1  # 100 ms target
+    print(f"predict_instances 4096^2: {t * 1e3:.1f} ms, {n_obj} objects", file=sys.stderr)
+    print(json.dumps({
+        "metric": "predict2d_throughput",
+        "value": round(mpix_per_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
