@@ -469,7 +469,9 @@ class StarDistBase:
     def _put_batch(self, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self._batch_sharding is not None:
-            batch = {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+            n_dev = self._batch_sharding.mesh.size
+            if all(v.shape[0] % n_dev == 0 for v in batch.values()):
+                batch = {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
         return batch
 
     def _fit(self, data_train, data_val_batch, epochs, steps_per_epoch):

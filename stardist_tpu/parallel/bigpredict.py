@@ -1,0 +1,172 @@
+"""Device-sharded big-image prediction.
+
+The reference processes BlockND covers sequentially on one process
+(stardist/models/base.py:952-975). Blocks are independent by construction
+(deterministic ownership via Block.is_responsible), which makes the block
+axis the natural multi-chip distribution axis (SURVEY.md section 2.3):
+
+- the U-Net forward (dominant FLOPs) runs on batches of blocks with the
+  batch axis sharded over the device mesh (XLA splits the work; no
+  collectives needed since blocks are independent);
+- the per-block candidate extraction / NMS / rasterization / ownership
+  stitch runs per block exactly as in the sequential path, so the result is
+  bit-identical to ``predict_instances_big``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.axes import axes_check_and_normalize, axes_dict
+from ..big import _grid_divisible, BlockND, OBJECT_KEYS
+from ..matching import relabel_sequential
+
+
+def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
+                                  context=None, labels_out=None,
+                                  labels_out_dtype=np.int32, devices=None,
+                                  prob_thresh=None, nms_thresh=None,
+                                  show_progress=False, **kwargs):
+    """Blockwise instance prediction with the network forward sharded over
+    devices. Returns (labels_out, polys_all) like
+    ``StarDistBase.predict_instances_big``; ``img`` must be normalized.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.array(devices), ("block",))
+    batch_sharding = NamedSharding(mesh, P("block"))
+    repl_sharding = NamedSharding(mesh, P())
+
+    n = img.ndim
+    axes = axes_check_and_normalize(axes, length=n)
+    grid = model._axes_div_by(axes)
+    axes_out = model.config.axes.replace("C", "")
+    shape_dict = dict(zip(axes, img.shape))
+    shape_out = tuple(shape_dict[a] for a in axes_out)
+
+    if context is None:
+        context = model._axes_tile_overlap(axes)
+
+    if np.isscalar(block_size):
+        block_size = n * [block_size]
+    if np.isscalar(min_overlap):
+        min_overlap = n * [min_overlap]
+    if np.isscalar(context):
+        context = n * [context]
+    block_size, min_overlap, context = list(block_size), list(min_overlap), list(context)
+
+    channel = axes_dict(axes)["C"] if "C" in axes else None
+    if channel is not None:
+        block_size[channel] = img.shape[channel]
+        min_overlap[channel] = context[channel] = 0
+
+    block_size = tuple(_grid_divisible(g, v, name="block_size", verbose=False)
+                       for v, g in zip(block_size, grid))
+    min_overlap = tuple(_grid_divisible(g, v, name="min_overlap", verbose=False)
+                        for v, g in zip(min_overlap, grid))
+    context = tuple(_grid_divisible(g, v, name="context", verbose=False)
+                    for v, g in zip(context, grid))
+
+    blocks = BlockND.cover(img.shape, axes, block_size, min_overlap, context, grid)
+
+    if np.isscalar(labels_out) and bool(labels_out) is False:
+        labels_out = None
+    elif labels_out is None:
+        labels_out = np.zeros(shape_out, dtype=labels_out_dtype)
+
+    # uniform read shape: pad edge blocks (reflect), crop the outputs back
+    spatial_axes = [i for i in range(n) if i != channel]
+    full_shape = tuple(block_size[i] for i in range(n))
+    n_channel_in = model.config.n_channel_in
+
+    # jitted sharded forward over a batch of blocks
+    net = model.net
+    extra = model._extra_vars
+    params = jax.device_put(model.params, repl_sharding)
+
+    @jax.jit
+    def forward(params, x):
+        variables = dict(extra)
+        variables["params"] = params
+        return net.apply(variables, x, train=False)
+
+    # read + pad all blocks (host)
+    reads, pads = [], []
+    for block in blocks:
+        x = np.asarray(block.read(img, axes=axes))
+        pad = tuple((0, f - s) for f, s in zip(full_shape, x.shape))
+        pads.append(pad)
+        if any(p[1] > 0 for p in pad):
+            x = np.pad(x, pad, mode="reflect")
+        if channel is None:
+            x = x[..., np.newaxis]
+        reads.append(x.astype(np.float32))
+
+    # network outputs per block, computed in device-count-sized batches
+    outs_prob, outs_dist, outs_class = [], [], []
+    multiclass = model._is_multiclass()
+    i = 0
+    while i < len(reads):
+        batch = reads[i:i + n_dev]
+        n_real = len(batch)
+        while len(batch) < n_dev:
+            batch.append(batch[-1])  # pad batch with duplicates
+        xb = jax.device_put(jnp.asarray(np.stack(batch)), batch_sharding)
+        outs = forward(params, xb)
+        outs = [np.asarray(o) for o in outs]
+        for k in range(n_real):
+            outs_prob.append(outs[0][k])
+            outs_dist.append(outs[1][k])
+            if multiclass:
+                outs_class.append(outs[2][k])
+        i += n_real
+
+    # per-block instance extraction + deterministic ownership stitch
+    from ..nms import _ind_prob_thresh
+    if prob_thresh is None:
+        prob_thresh = model.thresholds.prob
+
+    polys_all = {}
+    label_offset = 1
+    g_spatial = tuple(model.config.grid)
+    axes_net = model.config.axes
+
+    for bi, block in enumerate(blocks):
+        prob = outs_prob[bi][..., 0]
+        dist = np.maximum(1e-3, outs_dist[bi])
+        # crop padding (in grid units)
+        spatial_pads = [pads[bi][i] for i in spatial_axes]
+        crop = tuple(
+            slice(0, (f - p[1]) // g)
+            for f, p, g in zip((full_shape[i] for i in spatial_axes), spatial_pads, g_spatial)
+        )
+        prob = prob[crop]
+        dist = dist[crop + (slice(None),)]
+
+        inds = _ind_prob_thresh(prob, prob_thresh, b=2)
+        probi = prob[inds]
+        disti = dist[inds]
+        points = np.stack(np.where(inds), axis=1) * np.array(g_spatial).reshape(1, -1)
+
+        block_shape = tuple(s.stop - s.start for s in block.slice_read(axes_out))
+        labels, polys = model._instances_from_prediction(
+            block_shape, probi, disti, points=points,
+            prob_thresh=prob_thresh, nms_thresh=nms_thresh, **kwargs)
+
+        labels = block.crop_context(labels, axes=axes_out)
+        labels, polys = block.filter_objects(labels, polys, axes=axes_out)
+        labels = relabel_sequential(labels, label_offset)[0]
+        if labels_out is not None:
+            block.write(labels_out, labels, axes=axes_out)
+        for k, v in polys.items():
+            polys_all.setdefault(k, []).append(v)
+        label_offset += len(polys["prob"])
+
+    polys_all = {
+        k: (np.concatenate(v) if k in OBJECT_KEYS else v[0])
+        for k, v in polys_all.items()
+    }
+    return labels_out, polys_all

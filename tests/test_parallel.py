@@ -1,0 +1,86 @@
+import numpy as np
+import jax
+import pytest
+
+from stardist_tpu.models import Config2D, StarDist2D
+from stardist_tpu.matching import matching
+from utils import synthetic_nuclei_2d
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("par")
+    imgs, lbls = [], []
+    for i in range(2):
+        img, lbl = synthetic_nuclei_2d((128, 128), seed=i)
+        imgs.append(img)
+        lbls.append(lbl.astype(np.int32))
+    cfg = Config2D(n_rays=16, grid=(2, 2), unet_n_depth=2, unet_n_filter_base=8,
+                   net_conv_after_unet=16, train_patch_size=(64, 64),
+                   train_batch_size=2, train_reduce_lr=None)
+    model = StarDist2D(cfg, name="par2d", basedir=str(tmp))
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]), seed=0,
+                epochs=2, steps_per_epoch=8)
+    return model
+
+
+def test_virtual_mesh_available():
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
+
+
+def test_big_equals_monolithic(trained_model):
+    """predict_instances_big == predict_instances (ownership contract)."""
+    model = trained_model
+    img, _ = synthetic_nuclei_2d((256, 256), seed=99)
+    ref_labels, ref_polys = model.predict_instances(img, prob_thresh=0.5)
+    res_labels, res_polys = model.predict_instances_big(
+        img, axes="YX", block_size=160, min_overlap=32, context=32,
+        prob_thresh=0.5, show_progress=False)
+    if ref_labels.max() == 0:
+        pytest.skip("no objects predicted; training too short")
+    m = matching(ref_labels, res_labels, thresh=0.99)
+    assert m.accuracy == 1.0 and m.mean_true_score > 0.999
+    ref_inds = np.lexsort(ref_polys["points"].T)
+    res_inds = np.lexsort(res_polys["points"].T)
+    assert np.allclose(ref_polys["points"][ref_inds], res_polys["points"][res_inds], atol=1e-2)
+    assert np.allclose(ref_polys["prob"][ref_inds], res_polys["prob"][res_inds], atol=1e-2)
+
+
+def test_sharded_big_equals_sequential(trained_model):
+    """Device-sharded blockwise prediction == sequential blockwise prediction."""
+    from stardist_tpu.parallel.bigpredict import predict_instances_big_sharded
+
+    model = trained_model
+    img, _ = synthetic_nuclei_2d((256, 256), seed=7)
+    seq_labels, seq_polys = model.predict_instances_big(
+        img, axes="YX", block_size=160, min_overlap=32, context=32,
+        prob_thresh=0.5, show_progress=False)
+    par_labels, par_polys = predict_instances_big_sharded(
+        model, img, axes="YX", block_size=160, min_overlap=32, context=32,
+        prob_thresh=0.5)
+    assert par_labels is not None
+    if seq_labels.max() == 0:
+        pytest.skip("no objects predicted; training too short")
+    m = matching(seq_labels, par_labels, thresh=0.99)
+    assert m.accuracy == 1.0
+    assert len(seq_polys["prob"]) == len(par_polys["prob"])
+
+
+def test_dp_training_on_mesh(tmp_path):
+    """Batch size divisible by device count activates DP sharding."""
+    imgs, lbls = [], []
+    for i in range(2):
+        img, lbl = synthetic_nuclei_2d((96, 96), seed=i)
+        imgs.append(img)
+        lbls.append(lbl.astype(np.int32))
+    cfg = Config2D(n_rays=8, grid=(2, 2), unet_n_depth=1, unet_n_filter_base=4,
+                   net_conv_after_unet=8, train_patch_size=(32, 32),
+                   train_batch_size=8, train_reduce_lr=None)
+    model = StarDist2D(cfg, name="dp", basedir=str(tmp_path))
+    assert len(jax.devices()) == 8
+    history = model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]),
+                          seed=0, epochs=1, steps_per_epoch=2)
+    assert np.isfinite(history.history["loss"][-1])
+    # sharding was active
+    assert model._batch_sharding is not None
