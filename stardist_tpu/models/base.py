@@ -595,6 +595,75 @@ class StarDistBase:
         outs = forward(self.params, freeze(self._extra_vars) if not isinstance(self._extra_vars, dict) else self._extra_vars, jnp.asarray(x[np.newaxis]))
         return tuple(np.asarray(y[0]) for y in outs)
 
+    @functools.lru_cache(maxsize=None)
+    def _sparse_extract_fn(self, K, b_key, multiclass):
+        """Jitted forward + on-device candidate extraction: threshold + border
+        mask + top-K gather. Only the K candidate rows cross to the host
+        (vs. the full dist tensor) — the TPU-native version of the reference's
+        host-side `_ind_prob_thresh` gather (stardist/models/base.py:585-593).
+        """
+        net = self.net
+        n_dim = self.config.n_dim
+
+        @jax.jit
+        def extract(params, extra_vars, x, prob_thresh):
+            variables = dict(extra_vars)
+            variables["params"] = params
+            outs = net.apply(variables, x, train=False)
+            prob = outs[0][0, ..., 0]          # (sp...)
+            dist = outs[1][0]                  # (sp..., R)
+            shape = prob.shape
+            mask = prob > prob_thresh
+            # border exclusion (b_key: per-axis (b_lo, b_hi), -1 = none)
+            for ax, (blo, bhi) in enumerate(b_key):
+                idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+                if blo > 0:
+                    mask = mask & (idx >= blo)
+                if bhi > 0:
+                    mask = mask & (idx < shape[ax] - bhi)
+            score = jnp.where(mask, prob, -1.0)
+            vals, flat_idx = jax.lax.top_k(score.ravel(), K)
+            points = jnp.stack(jnp.unravel_index(flat_idx, shape), axis=1)  # (K, n_dim)
+            d = dist.reshape(-1, dist.shape[-1])[flat_idx]
+            d = jnp.maximum(d, 1e-3)
+            valid = vals > -1.0
+            n_above = jnp.sum(mask)
+            if multiclass:
+                pc = outs[2][0].reshape(-1, outs[2].shape[-1])[flat_idx]
+                return vals, d, points, valid, n_above, pc
+            return vals, d, points, valid, n_above
+
+        return extract
+
+    def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=2 ** 17):
+        """Run the on-device sparse extraction; returns numpy
+        (prob, dist, points[, prob_class]) of valid candidates (points in
+        output-grid units, unscaled)."""
+        n_dim = self.config.n_dim
+        if np.isscalar(b) or b is None:
+            b = ((b, b) if b is not None else (-1, -1),) * n_dim
+        b_key = tuple((int(lo), int(hi)) for lo, hi in b)
+        out_size = int(np.prod([s // g for s, g in
+                                zip(x.shape[:-1], self.config.grid)]))
+        K = int(min(out_size, max_candidates))
+        multiclass = self._is_multiclass()
+        fn = self._sparse_extract_fn(K, b_key, multiclass)
+        outs = fn(self.params, self._extra_vars, jnp.asarray(x[np.newaxis]),
+                  jnp.float32(prob_thresh))
+        outs = [np.asarray(o) for o in outs]
+        vals, d, points, valid, n_above = outs[:5]
+        n_above = int(n_above)
+        if n_above > K:
+            warnings.warn(
+                f"number of candidates ({n_above}) exceeds max_candidates ({K}); "
+                "keeping the top-K by probability")
+        vals = vals[valid]
+        d = d[valid]
+        points = points[valid]
+        if multiclass:
+            return vals, d, points, outs[5][valid]
+        return vals, d, points
+
     def _predict_setup(self, img, axes, normalizer, n_tiles, show_tile_progress, predict_kwargs):
         if n_tiles is None:
             n_tiles = [1] * img.ndim
@@ -712,9 +781,12 @@ class StarDistBase:
         return r
 
     def _predict_sparse_generator(self, img, prob_thresh=None, axes=None, normalizer=None,
-                                  n_tiles=None, show_tile_progress=True, b=2, **predict_kwargs):
+                                  n_tiles=None, show_tile_progress=True, b=2,
+                                  max_candidates=2 ** 17, **predict_kwargs):
         """Sparse prediction: returns flat candidate lists
-        (prob, dist, [prob_class], points)."""
+        (prob, dist, [prob_class], points). Candidate extraction (threshold,
+        border exclusion, gather) runs on device — only candidate rows are
+        transferred to the host."""
         if prob_thresh is None:
             prob_thresh = self.thresholds.prob
 
@@ -722,13 +794,8 @@ class StarDistBase:
          grid, grid_dict, channel, tiling_setup) = self._predict_setup(
             img, axes, normalizer, n_tiles, show_tile_progress, predict_kwargs)
 
-        def _prep(prob, dist):
-            prob = np.take(prob, 0, axis=channel)
-            dist = np.moveaxis(dist, channel, -1)
-            dist = np.maximum(1e-3, dist)
-            return prob, dist
-
         proba, dista, pointsa, prob_classa = [], [], [], []
+        grid_arr = np.array(self.config.grid).reshape((1, len(self.config.grid)))
 
         if np.prod(n_tiles) > 1:
             tile_generator, output_shape, create_empty_output, _ = tiling_setup()
@@ -736,7 +803,6 @@ class StarDistBase:
             sh[channel] = 1
 
             for tile, s_src, s_dst in tile_generator:
-                results_tile = self._predict_direct_np(tile)
                 s_src = [slice(s.start // grid_dict.get(a, 1), s.stop // grid_dict.get(a, 1))
                          for s, a in zip(s_src, axes_net)]
                 s_dst = [slice(s.start // grid_dict.get(a, 1), s.stop // grid_dict.get(a, 1))
@@ -745,38 +811,36 @@ class StarDistBase:
                 s_dst[channel] = slice(None)
                 s_src, s_dst = tuple(s_src), tuple(s_dst)
 
-                prob_tile, dist_tile = results_tile[:2]
-                prob_tile, dist_tile = _prep(prob_tile[s_src], dist_tile[s_src])
+                # device-side mask: tile core minus global-border exclusion
+                tile_out_shape = tuple(
+                    s // grid_dict.get(a, 1)
+                    for s, a in zip(tile.shape, axes_net) if a != "C")
+                ssrc_sp = [s for s, a in zip(s_src, axes_net) if a != "C"]
+                sdst_sp = [s for s, a in zip(s_dst, axes_net) if a != "C"]
+                sh_sp = [s for s, a in zip(sh, axes_net) if a != "C"]
+                bs = []
+                for s_s, s_d, t_len, _sh in zip(ssrc_sp, sdst_sp, tile_out_shape, sh_sp):
+                    blo = s_s.start + (b if s_d.start == 0 else 0)
+                    bhi = (t_len - s_s.stop) + (b if s_d.stop == _sh else 0)
+                    bs.append((blo, bhi))
 
-                bs = list((b if s.start == 0 else -1, b if s.stop == _sh else -1)
-                          for s, _sh in zip(s_dst, sh))
-                bs.pop(channel)
-                inds = _ind_prob_thresh(prob_tile, prob_thresh, b=bs)
-                proba.extend(prob_tile[inds].copy())
-                dista.extend(dist_tile[inds].copy())
-                _points = np.stack(np.where(inds), axis=1)
-                offset = list(s.start for i, s in enumerate(s_dst))
-                offset.pop(channel)
-                _points = _points + np.array(offset).reshape((1, len(offset)))
-                _points = _points * np.array(self.config.grid).reshape((1, len(self.config.grid)))
-                pointsa.extend(_points)
-
+                res = self._sparse_extract_np(tile, prob_thresh, tuple(bs),
+                                              max_candidates=max_candidates)
+                probi, disti, points = res[:3]
+                proba.extend(probi)
+                dista.extend(disti)
+                offset = np.array([s_d.start - s_s.start
+                                   for s_s, s_d in zip(ssrc_sp, sdst_sp)]).reshape(1, -1)
+                pointsa.extend((points + offset) * grid_arr)
                 if self._is_multiclass():
-                    p = results_tile[2][s_src].copy()
-                    p = np.moveaxis(p, channel, -1)
-                    prob_classa.extend(p[inds])
+                    prob_classa.extend(res[3])
                 yield
         else:
-            results = self._predict_direct_np(x)
-            prob, dist = _prep(*results[:2])
-            inds = _ind_prob_thresh(prob, prob_thresh, b=b)
-            proba = prob[inds].copy()
-            dista = dist[inds].copy()
-            _points = np.stack(np.where(inds), axis=1)
-            pointsa = _points * np.array(self.config.grid).reshape((1, len(self.config.grid)))
+            res = self._sparse_extract_np(x, prob_thresh, b, max_candidates=max_candidates)
+            proba, dista, _points = res[:3]
+            pointsa = _points * grid_arr
             if self._is_multiclass():
-                p = np.moveaxis(results[2], channel, -1)
-                prob_classa = p[inds].copy()
+                prob_classa = res[3]
 
         proba = np.asarray(proba)
         dista = np.asarray(dista).reshape((-1, self.config.n_rays))
