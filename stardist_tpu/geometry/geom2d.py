@@ -129,7 +129,54 @@ def polygons_to_label(dist, points, shape, prob=None, thr=-np.inf, scale_dist=(1
                             scale_dist=tuple(scale_dist))
 
 
+# -- legacy dense-coordinate API (kept for parity with the reference's
+# regression-test surface; reference geom2d.py:88-127) ----------------------
+
+def _dist_to_coord_old(rhos, grid=(1, 1)):
+    """Dense polar->cartesian: (..., Ny, Nx, n_rays) -> (..., Ny, Nx, 2, n_rays)."""
+    grid = _normalize_grid(grid, 2)
+    is_single = rhos.ndim == 3
+    if is_single:
+        rhos = rhos[np.newaxis]
+    assert rhos.ndim == 4
+    n_images, h, w, n_rays = rhos.shape
+    coord = np.empty((n_images, h, w, 2, n_rays), dtype=rhos.dtype)
+    start = np.indices((h, w))
+    for i in range(2):
+        coord[..., i, :] = grid[i] * np.broadcast_to(start[i].reshape(1, h, w, 1),
+                                                     (n_images, h, w, n_rays))
+    phis = ray_angles(n_rays).reshape(1, 1, 1, n_rays)
+    coord[..., 0, :] += rhos * np.sin(phis)
+    coord[..., 1, :] += rhos * np.cos(phis)
+    return coord[0] if is_single else coord
+
+
+def _polygons_to_label_old(coord, prob, points, shape=None, thr=-np.inf):
+    """Render polygons selected by grid-index `points` from a dense coord map;
+    increasing-prob overwrite order, ids consecutive in that order."""
+    sh = coord.shape[:2] if shape is None else shape
+    points = np.asarray(points)
+    ind = np.argsort([prob[p[0], p[1]] for p in points], kind="stable")
+    points = points[ind]
+    keep = [p for p in points if prob[p[0], p[1]] >= thr]
+    if len(keep) == 0:
+        return np.zeros(sh, np.int32)
+    coords = np.stack([coord[p[0], p[1]] for p in keep])  # (n, 2, R)
+    return polygons_to_label_coord(coords, shape=sh, labels=np.arange(len(keep)))
+
+
 def relabel_image_stardist(lbl, n_rays, **kwargs):
+    """Relabel each region with its star-convex polygon approximation."""
+    _check_label_array(lbl, "lbl")
+    if not lbl.ndim == 2:
+        raise ValueError("lbl image should be 2 dimensional")
+    dist = star_dist(lbl, n_rays, **kwargs)
+    points = np.array(tuple(np.array(r.centroid).astype(int) for r in regions(lbl)))
+    if len(points) == 0:
+        dist, points = np.zeros((0, n_rays), np.float32), np.zeros((0, 2), int)
+    else:
+        dist = dist[tuple(points.T)]
+    return polygons_to_label(dist, points, shape=lbl.shape)
     """Relabel each region with its star-convex polygon approximation."""
     _check_label_array(lbl, "lbl")
     if not lbl.ndim == 2:

@@ -113,6 +113,45 @@ def relabel_image_stardist3D(lbl, rays, verbose=False, **kwargs):
     return polyhedron_to_label(dist, points, rays, shape=lbl.shape, labels=labs, verbose=verbose)
 
 
+def dist_to_volume(dist, rays):
+    """Per-voxel polyhedron volumes from a dense dist map (nz,ny,nx,n_rays)
+    (reference c_dist_to_volume, stardist3d_impl.cpp:1529-1558)."""
+    dist = np.asanyarray(dist)
+    if dist.ndim != 4:
+        raise ValueError(f"dist.ndim = {dist.ndim} but should be 4")
+    if dist.shape[-1] != len(rays):
+        raise ValueError(f"dist.shape[-1] = {dist.shape[-1]} but should be {len(rays)}")
+    return rays.volume(dist).astype(np.float32)
+
+
+def dist_to_centroid(dist, rays, mode="absolute"):
+    """Per-voxel polyhedron centroids from a dense dist map (nz,ny,nx,n_rays).
+
+    mode='relative' gives centroids relative to the voxel center;
+    'absolute' adds the voxel position (reference c_dist_to_centroid,
+    stardist3d_impl.cpp:1561-1589)."""
+    dist = np.asanyarray(dist)
+    if dist.ndim != 4:
+        raise ValueError(f"dist.ndim = {dist.ndim} but should be 4")
+    if dist.shape[-1] != len(rays):
+        raise ValueError(f"dist.shape[-1] = {dist.shape[-1]} but should be {len(rays)}")
+    if mode not in ("absolute", "relative"):
+        raise ValueError("mode should be either 'absolute' or 'relative'")
+    verts = np.asarray(rays.vertices, np.float32)
+    faces = np.asarray(rays.faces)
+    v = dist[..., None] * verts                  # (..., R, 3)
+    tri = v[..., faces, :]                       # (..., F, 3, 3)
+    det = np.linalg.det(tri)                     # (..., F)
+    vol_f = -det / 6.0
+    cen_f = tri.sum(axis=-2) / 4.0               # tetra centroid rel voxel
+    total = vol_f.sum(axis=-1, keepdims=True)
+    centroid = (vol_f[..., None] * cen_f).sum(axis=-2) / (total + 1e-10)
+    if mode == "absolute":
+        zz, yy, xx = np.meshgrid(*map(np.arange, dist.shape[:3]), indexing="ij")
+        centroid = centroid + np.stack([zz, yy, xx], axis=-1)
+    return centroid.astype(np.float32)
+
+
 def dist_to_coord3D(dist, points, rays_vertices):
     """Convert dist/points/rays_vertices to vertex coordinate lists."""
     dist = np.asarray(dist)

@@ -493,11 +493,72 @@ class StarDistBase:
 
         val_batch = self._put_batch(data_val_batch) if data_val_batch is not None else None
 
+        # observability: JSONL history + optional TensorBoard scalars
+        # (reference wires Keras TensorBoard callbacks, base.py:351-366)
+        jsonl_path = tb_writer = None
+        if self.basedir is not None:
+            log_dir = self.logdir / "logs"
+            log_dir.mkdir(parents=True, exist_ok=True)
+            jsonl_path = log_dir / "history.jsonl"
+            if getattr(cfg, "train_tensorboard", False):
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    tb_writer = SummaryWriter(log_dir=str(log_dir))
+                except Exception:
+                    tb_writer = None
+
+        # background prefetch: overlap host-side patch/target generation with
+        # the device train step (the reference uses keras multi-worker data
+        # loading for the same purpose, model2d.py:434-439)
+        import queue as _queue
+
+        prefetch_q = _queue.Queue(maxsize=4)
+        n_total_steps = epochs * steps_per_epoch
+        stop_flag = []
+
+        def _producer():
+            for s in range(n_total_steps):
+                if stop_flag:
+                    return
+                try:
+                    prefetch_q.put(data_train[s])
+                except Exception as e:  # surface errors in the consumer
+                    prefetch_q.put(e)
+                    return
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
+        step = 0
+        try:
+            self._fit_epochs(
+                epochs, steps_per_epoch, prefetch_q, rng, history,
+                jsonl_path, tb_writer, lr, factor, patience, min_delta, rlrop,
+                val_batch)
+        finally:
+            stop_flag.append(True)
+            try:
+                while True:
+                    prefetch_q.get_nowait()
+            except _queue.Empty:
+                pass
+        self._training_finished()
+        return history
+
+    def _fit_epochs(self, epochs, steps_per_epoch, prefetch_q, rng, history,
+                    jsonl_path, tb_writer, lr, factor, patience, min_delta,
+                    rlrop, val_batch):
+        cfg = self.config
+        best_ckpt = np.inf
+        best_plateau = np.inf
+        plateau_wait = 0
         step = 0
         for epoch in range(epochs):
             train_logs = []
             for _ in range(steps_per_epoch):
-                batch = data_train[step]
+                batch = prefetch_q.get()
+                if isinstance(batch, Exception):
+                    raise batch
                 rng, sub = jax.random.split(rng)
                 self.params, self.opt_state, metrics = self._train_step(
                     self.params, self.opt_state, self._put_batch(batch), sub)
@@ -514,6 +575,12 @@ class StarDistBase:
             monitor = logs.get("val_loss", logs["loss"])
             print(f"epoch {epoch + 1}/{epochs} - " +
                   " - ".join(f"{k}: {v:.4f}" for k, v in logs.items()), flush=True)
+            if jsonl_path is not None:
+                with open(jsonl_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch + 1, **logs}) + "\n")
+            if tb_writer is not None:
+                for k, v in logs.items():
+                    tb_writer.add_scalar(k, v, epoch + 1)
 
             if self.basedir is not None:
                 self.save_weights(cfg.train_checkpoint_epoch)
@@ -531,8 +598,6 @@ class StarDistBase:
                     self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
                     plateau_wait = 0
                     print(f"ReduceLROnPlateau: reducing learning rate to {lr:g}", flush=True)
-        self._training_finished()
-        return history
 
     def _training_finished(self):
         if self.basedir is not None:

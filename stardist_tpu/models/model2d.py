@@ -72,18 +72,17 @@ class StarDistData2D(StarDistDataBase):
 
         prob = np.stack([edt_prob(lbl[self.b][self.ss_grid[1:3]]) for lbl in Y])
 
+        from ..ops.stardist2d import star_dist2d_batch
         if self.shape_completion:
             Y_cleared = [clear_border(lbl) for lbl in Y]
-            _dist = np.stack([
-                star_dist(lbl, self.n_rays, mode=self.sd_mode)[self.b + (slice(None),)]
-                for lbl in Y_cleared
-            ])
+            _dist = star_dist2d_batch(np.stack(Y_cleared), self.n_rays)[
+                (slice(None),) + self.b + (slice(None),)]
             dist = _dist[self.ss_grid]
             dist_mask = np.stack([edt_prob(lbl[self.b][self.ss_grid[1:3]]) for lbl in Y_cleared])
         else:
-            dist = np.stack([
-                star_dist(lbl, self.n_rays, mode=self.sd_mode, grid=self.grid) for lbl in Y
-            ])
+            # one batched device call for the whole batch (avoids per-patch
+            # dispatch latency)
+            dist = star_dist2d_batch(np.stack(Y), self.n_rays, grid=self.grid)
             dist_mask = prob
 
         X = np.stack(X)

@@ -66,9 +66,8 @@ class StarDistData3D(StarDistDataBase):
         prob = np.stack([
             edt_prob(lbl, anisotropy=self.anisotropy)[self.ss_grid[1:4]] for lbl in Y
         ])
-        dist = np.stack([
-            star_dist3D(lbl, self.rays, mode=self.sd_mode, grid=self.grid) for lbl in Y
-        ])
+        from ..ops.stardist3d import star_dist3d_batch
+        dist = star_dist3d_batch(np.stack(Y), self.rays, grid=self.grid)
         dist_mask = prob
 
         X = np.stack(X)

@@ -30,6 +30,33 @@ def _ind_prob_thresh(prob, prob_thresh, b=2):
     return ind_thresh
 
 
+def _non_maximum_suppression_old(coord, prob, grid=(1, 1), b=2, nms_thresh=0.5,
+                                 prob_thresh=0.5, verbose=False, max_bbox_search=True):
+    """Legacy NMS on a dense coordinate map (reference nms.py:20-74).
+
+    coord.shape = (Ny, Nx, 2, n_rays); returns the retained grid-index points.
+    """
+    assert prob.ndim == 2 and coord.ndim == 4
+    grid = _normalize_grid(grid, 2)
+    mask = _ind_prob_thresh(prob, prob_thresh, b)
+    points = np.stack(np.where(mask), axis=1)
+    scores = prob[mask]
+    # recover (dist, center): center = grid * point; dist_k = |coord_k - center|
+    centers = points * np.array(grid).reshape(1, 2)
+    coords = coord[mask]  # (n, 2, n_rays)
+    rel = coords - centers[:, :, None]
+    dist = np.sqrt(np.sum(rel ** 2, axis=1)).astype(np.float32)
+
+    ind = np.argsort(scores, kind="stable")[::-1]
+    survivors = np.zeros(len(ind), bool)
+    survivors[ind] = nms_polygons(dist[ind], centers[ind].astype(np.float32),
+                                  scores=scores[ind], thresh=float(nms_thresh),
+                                  verbose=verbose)
+    if verbose:
+        print("keeping %s/%s polygons" % (np.count_nonzero(survivors), len(survivors)))
+    return points[survivors]
+
+
 def non_maximum_suppression(dist, prob, grid=(1, 1), b=2, nms_thresh=0.5,
                             prob_thresh=0.5, use_bbox=True, use_kdtree=True,
                             verbose=False, **nms_opts):

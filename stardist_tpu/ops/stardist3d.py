@@ -74,6 +74,22 @@ def star_dist3d_jax(lbl, rays, grid=(1, 1, 1), max_steps=None):
     return np.asarray(out)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _star_dist3d_batch_impl(lbls, dirs, grid, max_steps):
+    return jax.vmap(lambda l: _star_dist3d_impl(l, dirs, grid, max_steps))(lbls)
+
+
+def star_dist3d_batch(lbls, rays, grid=(1, 1, 1), max_steps=None):
+    """Batched star distances (B,D,H,W) -> (B,Do,Ho,Wo,R) in one device call."""
+    lbls = np.asarray(lbls)
+    if max_steps is None:
+        max_steps = int(math.ceil(math.sqrt(sum(s * s for s in lbls.shape[1:])))) + 2
+    dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+    out = _star_dist3d_batch_impl(jnp.asarray(lbls.astype(np.int32)), dirs,
+                                  tuple(int(g) for g in grid), int(max_steps))
+    return np.asarray(out)
+
+
 def star_dist3d_numpy(lbl, rays, grid=(1, 1, 1)):
     """Pure-NumPy oracle with identical semantics to the C++ kernel."""
     lbl = np.asarray(lbl)
