@@ -1122,7 +1122,7 @@ class StarDistBase:
             if _opt_measure > opt_measure:
                 opt_prob_thresh, opt_measure, opt_nms_thresh = (
                     _opt_prob_thresh, _opt_measure, _opt_nms_thresh)
-        opt_threshs = dict(prob=opt_prob_thresh, nms=opt_nms_thresh)
+        opt_threshs = dict(prob=float(opt_prob_thresh), nms=float(opt_nms_thresh))
 
         self.thresholds = opt_threshs
         print("Using optimized values: prob_thresh={prob:g}, nms_thresh={nms:g}.".format(

@@ -1,0 +1,163 @@
+"""API-surface parity tests: legacy shims, exports, interop, data, scripts."""
+import json
+import numpy as np
+import pytest
+
+from utils import random_image, synthetic_nuclei_2d
+
+
+def test_flat_namespace():
+    import stardist_tpu as sd
+    for name in (
+        "star_dist", "star_dist3D", "polygons_to_label", "polyhedron_to_label",
+        "relabel_image_stardist", "relabel_image_stardist3D", "ray_angles",
+        "dist_to_coord", "dist_to_coord3D", "export_to_obj_file3D",
+        "non_maximum_suppression", "non_maximum_suppression_sparse",
+        "non_maximum_suppression_3d", "non_maximum_suppression_3d_sparse",
+        "edt_prob", "fill_label_holes", "sample_points", "calculate_extents",
+        "export_imagej_rois", "gputools_available", "mask_to_categorical",
+        "Rays_Base", "Rays_Explicit", "Rays_Cartesian", "Rays_Tetra",
+        "Rays_Octo", "Rays_GoldenSpiral", "rays_from_json", "sample_patches",
+        "__version__",
+    ):
+        assert hasattr(sd, name), name
+
+
+def test_legacy_nms_matches_new():
+    from stardist_tpu import edt_prob, star_dist, non_maximum_suppression
+    from stardist_tpu.geometry.geom2d import _dist_to_coord_old, _polygons_to_label_old
+    from stardist_tpu.nms import _non_maximum_suppression_old
+    from stardist_tpu.matching import matching
+
+    img = random_image((96, 96)).astype(np.int32)
+    prob = edt_prob(img)
+    dist = star_dist(img, n_rays=32)
+    coord = _dist_to_coord_old(dist)
+    points_old = _non_maximum_suppression_old(coord, prob, prob_thresh=0.4)
+    img_old = _polygons_to_label_old(coord, prob, points_old, shape=img.shape)
+
+    points_new, probi, disti = non_maximum_suppression(dist, prob, prob_thresh=0.4)
+    assert len(points_old) == len(points_new)
+    assert np.allclose(np.sort(points_old, axis=0), np.sort(points_new, axis=0))
+    # old and new rendering paths agree on the foreground (reference
+    # tests/test_nms2D.py test_old_new contract)
+    from stardist_tpu import polygons_to_label
+    img_new = polygons_to_label(disti, points_new, shape=img.shape)
+    assert np.allclose(img_old > 0, img_new > 0)
+
+
+def test_imagej_roi_export(tmp_path):
+    from stardist_tpu import export_imagej_rois
+    coords = np.random.RandomState(0).uniform(5, 50, (4, 2, 16)).astype(np.float32)
+    export_imagej_rois(str(tmp_path / "rois.zip"), coords)
+    import zipfile
+    with zipfile.ZipFile(tmp_path / "rois.zip") as z:
+        names = z.namelist()
+        assert len(names) == 4
+        data = z.read(names[0])
+        assert data[:4] == b"Iout"
+
+
+def test_obj_export(tmp_path):
+    from stardist_tpu import export_to_obj_file3D, Rays_GoldenSpiral
+    rays = Rays_GoldenSpiral(16)
+    rng = np.random.RandomState(0)
+    polys = dict(
+        dist=rng.uniform(3, 6, (2, 16)),
+        points=rng.uniform(10, 20, (2, 3)),
+        rays_vertices=rays.vertices,
+        rays_faces=rays.faces,
+    )
+    s = export_to_obj_file3D(polys, fname=str(tmp_path / "mesh.obj"))
+    assert "v " in s and "f " in s
+    assert (tmp_path / "mesh.obj").exists()
+
+
+def test_bundled_data():
+    from stardist_tpu.data import test_image_nuclei_2d, test_image_he_2d, test_image_nuclei_3d
+    img, mask = test_image_nuclei_2d(return_mask=True)
+    assert img.shape == mask.shape == (256, 256) and mask.max() > 10
+    he = test_image_he_2d()
+    assert he.shape == (256, 256, 3) and he.dtype == np.uint8
+    img3, mask3 = test_image_nuclei_3d(return_mask=True)
+    assert img3.shape == mask3.shape and mask3.max() > 5
+    # deterministic
+    img2, _ = test_image_nuclei_2d(return_mask=True)
+    assert np.array_equal(img, img2)
+
+
+def test_bioimageio_roundtrip(tmp_path):
+    from stardist_tpu.models import Config2D, StarDist2D
+    from stardist_tpu.bioimageio_utils import export_bioimageio, import_bioimageio
+
+    cfg = Config2D(n_rays=8, grid=(1, 1), unet_n_depth=1, unet_n_filter_base=4,
+                   net_conv_after_unet=8, train_patch_size=(32, 32), train_batch_size=1)
+    model = StarDist2D(cfg, name="bio", basedir=str(tmp_path))
+    zip_path = export_bioimageio(model, tmp_path / "package")
+    assert zip_path.exists()
+    model2 = import_bioimageio(zip_path, tmp_path / "imported")
+    assert model2.config.n_rays == 8
+    # weights survive the round trip
+    x = np.random.RandomState(0).uniform(0, 1, (32, 33)).astype(np.float32)
+    p1, d1 = model.predict(x)
+    p2, d2 = model2.predict(x)
+    assert np.allclose(p1, p2) and np.allclose(d1, d2)
+
+
+def test_cli_predict2d(tmp_path, monkeypatch):
+    import imageio.v2 as imageio
+    from stardist_tpu.models import Config2D, StarDist2D
+    from stardist_tpu.scripts import predict2d
+
+    img, lbl = synthetic_nuclei_2d((96, 96), seed=0)
+    cfg = Config2D(n_rays=8, grid=(1, 1), unet_n_depth=1, unet_n_filter_base=4,
+                   net_conv_after_unet=8, train_patch_size=(32, 32),
+                   train_batch_size=1, train_reduce_lr=None)
+    model = StarDist2D(cfg, name="cli", basedir=str(tmp_path))
+    model.train([img], [lbl.astype(np.int32)], validation_data=([img], [lbl.astype(np.int32)]),
+                seed=0, epochs=1, steps_per_epoch=2)
+
+    in_path = tmp_path / "input.tif"
+    imageio.imwrite(str(in_path), (img * 1000).astype(np.uint16))
+    args = predict2d.make_parser(2).parse_args([
+        "-i", str(in_path), "-o", str(tmp_path / "out"),
+        "-m", "cli", "--modeldir", str(tmp_path),
+    ])
+    labels, polys = predict2d.run(args, StarDist2D, 2)
+    assert (tmp_path / "out" / "input.labels.tif").exists()
+
+
+def test_optimize_thresholds(tmp_path):
+    from stardist_tpu.models import Config2D, StarDist2D
+
+    imgs, lbls = [], []
+    for i in range(2):
+        img, lbl = synthetic_nuclei_2d((96, 96), seed=i)
+        imgs.append(img)
+        lbls.append(lbl.astype(np.int32))
+    cfg = Config2D(n_rays=16, grid=(2, 2), unet_n_depth=2, unet_n_filter_base=8,
+                   net_conv_after_unet=16, train_patch_size=(64, 64),
+                   train_batch_size=2, train_reduce_lr=None)
+    model = StarDist2D(cfg, name="opt", basedir=str(tmp_path))
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]), seed=0,
+                epochs=2, steps_per_epoch=8)
+    res = model.optimize_thresholds(imgs[:1], lbls[:1], nms_threshs=[0.3, 0.5],
+                                    optimize_kwargs=dict(maxiter=8, verbose=0))
+    assert 0 < res["prob"] < 1 and res["nms"] in (0.3, 0.5)
+    saved = json.loads((model.logdir / "thresholds.json").read_text())
+    assert abs(saved["prob"] - res["prob"]) < 1e-9
+    # thresholds are picked up on reload
+    model2 = StarDist2D(None, name="opt", basedir=str(tmp_path))
+    assert abs(model2.thresholds.prob - res["prob"]) < 1e-9
+
+
+def test_render_helpers():
+    from stardist_tpu.plot import render_label, render_label_pred, random_label_cmap
+    lbl = random_image((48, 48)).astype(np.int32)
+    img = np.random.RandomState(0).uniform(0, 1, (48, 48)).astype(np.float32)
+    out = render_label(lbl, img=img)
+    assert out.shape == (48, 48, 4)
+    out2 = render_label_pred(lbl, np.roll(lbl, 2, axis=0), img=img)
+    assert out2.shape == (48, 48, 4)
+    cmap = random_label_cmap(64)
+    assert cmap.N == 64
