@@ -44,7 +44,16 @@ def _synthetic_nuclei(shape, seed, r_range=(7, 14), density=6e-4):
 
 
 def main():
+    import os
     import jax
+    # persistent compilation cache: first-run XLA compiles through the TPU
+    # tunnel are expensive; cache them across bench invocations
+    cache_dir = os.environ.get("STARDIST_TPU_JAX_CACHE",
+                               os.path.expanduser("~/.cache/stardist_tpu/jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from stardist_tpu.models import Config2D, StarDist2D
 
     np.random.seed(0)
@@ -66,11 +75,15 @@ def main():
     img, _ = _synthetic_nuclei((H, W), seed=123)
 
     def run():
-        labels, polys = model.predict_instances(img, prob_thresh=0.5, show_tile_progress=False)
+        labels, polys = model.predict_instances(
+            img, prob_thresh=0.5, show_tile_progress=False,
+            nms_kwargs=dict(row_block=512, col_block=1 << 18))
         return labels, polys
 
     # warmup (compilation)
+    t0 = time.perf_counter()
     labels, polys = run()
+    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     n_obj = len(polys["prob"])
 
     times = []
@@ -78,6 +91,7 @@ def main():
         t0 = time.perf_counter()
         labels, polys = run()
         times.append(time.perf_counter() - t0)
+        print(f"run: {times[-1]:.3f} s", file=sys.stderr)
     t = min(times)
 
     mpix_per_s = (H * W / 1e6) / t

@@ -203,7 +203,7 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
                  use_kdtree=True, verbose=False, samples=16, dense_max=None,
-                 row_block=16):
+                 row_block=16, col_block=4096):
     """Greedy NMS over score-sorted 2D star polygons. Returns bool survivors.
 
     Candidates must already be sorted by descending score (same contract as
@@ -235,7 +235,8 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
 
     return _blocked_greedy(
         lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
-        dist, points, thresh, row_block=row_block, verbose=verbose,
+        dist, points, thresh, row_block=row_block, col_block=col_block,
+        verbose=verbose,
         bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
     )
 
@@ -382,15 +383,17 @@ def _blocked_greedy(overlap_fn, dist, points, thresh, row_block=64,
                 ambiguous = ~sup_lb & ~keep_ub
                 part = sup_lb.copy()
                 amb_cols = np.flatnonzero(ambiguous.any(axis=0))
-                if len(amb_cols):
-                    Ap = _bucket(len(amb_cols), minimum=64)
+                # bound per-call sample memory: rows x amb-chunk x samples
+                amb_chunk = max(64, (1 << 16) // max(1, len(rows)))
+                for a0 in range(0, len(amb_cols), amb_chunk):
+                    ac = amb_cols[a0:a0 + amb_chunk]
+                    Ap = _bucket(len(ac), minimum=64)
                     exact = np.asarray(overlap_fn(
                         d_r, p_r,
-                        jnp.asarray(_pad(dist[cj[amb_cols]], Ap, value=1e-3)),
-                        jnp.asarray(_pad(points[cj[amb_cols]], Ap, value=-1e6)),
-                    ))[:len(rows), :len(amb_cols)]
-                    part[:, amb_cols] = np.where(
-                        ambiguous[:, amb_cols], exact, part[:, amb_cols])
+                        jnp.asarray(_pad(dist[cj[ac]], Ap, value=1e-3)),
+                        jnp.asarray(_pad(points[cj[ac]], Ap, value=-1e6)),
+                    ))[:len(rows), :len(ac)]
+                    part[:, ac] = np.where(ambiguous[:, ac], exact, part[:, ac])
             else:
                 part = np.asarray(overlap_fn(d_r, p_r, d_c, p_c))[:len(rows), :len(cj)]
             blk[:, j0:j0 + len(cj)] = part
