@@ -114,7 +114,7 @@ def calculate_extents(lbl, func=np.median):
 # EDT-based probability targets
 # ---------------------------------------------------------------------------
 
-def edt_prob(lbl_img, anisotropy=None):
+def edt_prob(lbl_img, anisotropy=None, engine="scipy"):
     """Per-object normalized Euclidean distance transform.
 
     For every pixel of object ``l``: distance to the nearest pixel NOT labeled
@@ -122,7 +122,13 @@ def edt_prob(lbl_img, anisotropy=None):
     Semantics follow the reference scipy fallback
     (stardist/utils.py:98-125): each object is processed in its bounding box
     grown by one pixel for interior sides.
+
+    engine='jax' runs the exact separable min-plus EDT on device
+    (stardist_tpu/ops/edt.py).
     """
+    if engine == "jax":
+        from .ops.edt import edt_prob_jax
+        return edt_prob_jax(lbl_img, anisotropy=anisotropy)
     constant_img = lbl_img.min() == lbl_img.max() and lbl_img.flat[0] > 0
     if constant_img:
         lbl_img = np.pad(lbl_img, ((1, 1),) * lbl_img.ndim, mode="constant")
