@@ -79,3 +79,25 @@ def _patch_from_pretrained():
 
 _patch_from_pretrained()
 del _patch_from_pretrained
+
+
+def _register_demo_models():
+    """Register the demo models committed under <repo>/models/examples
+    (analog of the reference's downloadable registry,
+    stardist/models/__init__.py:19-27)."""
+    from pathlib import Path
+    for base in (
+        Path(__file__).resolve().parents[2] / "models" / "examples",
+    ):
+        d2 = base / "2D_demo"
+        d3 = base / "3D_demo"
+        if d2.is_dir():
+            register_model(StarDist2D, "2D_demo", str(d2))
+            register_aliases(StarDist2D, "2D_demo", "Demo 2D")
+        if d3.is_dir():
+            register_model(StarDist3D, "3D_demo", str(d3))
+            register_aliases(StarDist3D, "3D_demo", "Demo 3D")
+
+
+_register_demo_models()
+del _register_demo_models
