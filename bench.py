@@ -67,8 +67,15 @@ def main():
     cfg = Config2D(n_rays=32, grid=(2, 2), train_patch_size=(256, 256),
                    train_batch_size=4, train_reduce_lr=None)
     model = StarDist2D(cfg, name="bench2d", basedir=None)
+    t0 = time.perf_counter()
     model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]),
-                seed=0, epochs=2, steps_per_epoch=25)
+                seed=0, epochs=3, steps_per_epoch=40)
+    print(f"train: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+
+    # inference-path optimizations: bfloat16 convs on the MXU, float16
+    # host->device image upload
+    model.set_inference_precision("bfloat16")
+    model.transfer_dtype = np.float16
 
     # -- benchmark image -----------------------------------------------------
     H = W = 4096

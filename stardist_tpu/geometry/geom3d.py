@@ -88,7 +88,8 @@ def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,
     order_values[order] = np.arange(n, 0, -1)
 
     img, cnt = rasterize_polyhedra(dist, points, rays, tuple(shape),
-                                   order_values, mode=mode)
+                                   order_values, mode=mode,
+                                   return_count=overlap_label is not None)
     lut = np.zeros(n + 1, np.int64)
     lut[order_values] = labels
     out = lut[img]

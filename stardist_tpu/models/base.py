@@ -644,13 +644,13 @@ class StarDistBase:
 
     @functools.lru_cache(maxsize=None)
     def _forward_fn(self):
-        net = self.net
+        net = self._inference_net()
 
         @jax.jit
         def forward(params, extra_vars, x):
             variables = dict(extra_vars)
             variables["params"] = params
-            return net.apply(variables, x, train=False)
+            return net.apply(variables, x.astype(jnp.float32), train=False)
 
         return forward
 
@@ -660,6 +660,24 @@ class StarDistBase:
         outs = forward(self.params, freeze(self._extra_vars) if not isinstance(self._extra_vars, dict) else self._extra_vars, jnp.asarray(x[np.newaxis]))
         return tuple(np.asarray(y[0]) for y in outs)
 
+    def _inference_net(self):
+        """Network instance used for inference; convolutions run in bfloat16
+        on the MXU when ``self.inference_dtype == 'bfloat16'`` (params stay
+        float32; heads cast back to float32)."""
+        import dataclasses
+        dtype = getattr(self, "inference_dtype", None)
+        if dtype == "bfloat16":
+            return dataclasses.replace(self.net, dtype=jnp.bfloat16)
+        return self.net
+
+    def set_inference_precision(self, dtype):
+        """dtype: None (float32) or 'bfloat16'."""
+        assert dtype in (None, "bfloat16")
+        self.inference_dtype = dtype
+        # jitted closures capture the net; clear caches
+        self._sparse_extract_fn.cache_clear()
+        self._forward_fn.cache_clear()
+
     @functools.lru_cache(maxsize=None)
     def _sparse_extract_fn(self, K, b_key, multiclass):
         """Jitted forward + on-device candidate extraction: threshold + border
@@ -667,13 +685,14 @@ class StarDistBase:
         (vs. the full dist tensor) — the TPU-native version of the reference's
         host-side `_ind_prob_thresh` gather (stardist/models/base.py:585-593).
         """
-        net = self.net
+        net = self._inference_net()
         n_dim = self.config.n_dim
 
         @jax.jit
         def extract(params, extra_vars, x, prob_thresh):
             variables = dict(extra_vars)
             variables["params"] = params
+            x = x.astype(jnp.float32)
             outs = net.apply(variables, x, train=False)
             prob = outs[0][0, ..., 0]          # (sp...)
             dist = outs[1][0]                  # (sp..., R)
@@ -700,10 +719,13 @@ class StarDistBase:
 
         return extract
 
-    def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=2 ** 17):
+    def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=2 ** 17,
+                           transfer_dtype=None):
         """Run the on-device sparse extraction; returns numpy
         (prob, dist, points[, prob_class]) of valid candidates (points in
-        output-grid units, unscaled)."""
+        output-grid units, unscaled). ``transfer_dtype`` (e.g. np.float16)
+        reduces the host->device upload volume; values are cast back to
+        float32 on device."""
         n_dim = self.config.n_dim
         if np.isscalar(b) or b is None:
             b = ((b, b) if b is not None else (-1, -1),) * n_dim
@@ -713,7 +735,9 @@ class StarDistBase:
         K = int(min(out_size, max_candidates))
         multiclass = self._is_multiclass()
         fn = self._sparse_extract_fn(K, b_key, multiclass)
-        outs = fn(self.params, self._extra_vars, jnp.asarray(x[np.newaxis]),
+        transfer_dtype = getattr(self, "transfer_dtype", None) if transfer_dtype is None else transfer_dtype
+        x_up = x[np.newaxis].astype(transfer_dtype) if transfer_dtype is not None else x[np.newaxis]
+        outs = fn(self.params, self._extra_vars, jnp.asarray(x_up),
                   jnp.float32(prob_thresh))
         outs = [np.asarray(o) for o in outs]
         vals, d, points, valid, n_above = outs[:5]

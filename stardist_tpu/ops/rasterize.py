@@ -34,11 +34,11 @@ def _pad_to(x, n, axis=0, value=0):
     return np.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist, with_count):
     N = dist.shape[0]
     img0 = jnp.zeros(shape, jnp.int32)
-    cnt0 = jnp.zeros(shape, jnp.int32)
+    cnt0 = jnp.zeros(shape, jnp.int32) if with_count else jnp.zeros((1, 1), jnp.int32)
     ar = jnp.arange(W, dtype=jnp.int32)
     inv_scale = jnp.asarray([1.0 / scale_dist[0], 1.0 / scale_dist[1]], jnp.float32)
 
@@ -62,7 +62,8 @@ def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist):
         rr_full = jnp.broadcast_to(rr[:, :, None], (chunk, W, W)).reshape(-1)
         cc_full = jnp.broadcast_to(cc[:, None, :], (chunk, W, W)).reshape(-1)
         img = img.at[rr_full, cc_full].max(val_patch.reshape(-1), mode="drop")
-        cnt = cnt.at[rr_full, cc_full].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
+        if with_count:
+            cnt = cnt.at[rr_full, cc_full].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
         return img, cnt
 
     n_chunks = (N + chunk - 1) // chunk
@@ -70,16 +71,18 @@ def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist):
 
 
 def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256,
-                       scale_dist=(1, 1)):
+                       scale_dist=(1, 1), return_count=False):
     """Rasterize star polygons; per pixel the candidate with the largest
     positive ``order_values`` entry wins. Returns (winner_img, count_img)
-    as numpy int32 arrays; winner 0 = background."""
+    as numpy int32 arrays; winner 0 = background. When ``return_count`` is
+    False, the count image is not computed/transferred (None)."""
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     order_values = np.asarray(order_values, np.int32)
     N = len(dist)
     if N == 0:
-        return np.zeros(shape, np.int32), np.zeros(shape, np.int32)
+        z = np.zeros(shape, np.int32)
+        return z, (np.zeros(shape, np.int32) if return_count else None)
     if window is None:
         window = 2 * int(np.ceil(dist.max() * max(scale_dist))) + 4
     window = int(min(window, 2 * max(shape) + 4))
@@ -91,15 +94,17 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         jnp.asarray(_pad_to(order_values, Np)),
         tuple(shape), window, chunk,
         (float(scale_dist[0]), float(scale_dist[1])),
+        bool(return_count),
     )
-    return np.asarray(img), np.asarray(cnt)
+    return np.asarray(img), (np.asarray(cnt) if return_count else None)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode,
+                   with_count):
     N = dist.shape[0]
     img0 = jnp.zeros(shape, jnp.int32)
-    cnt0 = jnp.zeros(shape, jnp.int32)
+    cnt0 = jnp.zeros(shape, jnp.int32) if with_count else jnp.zeros((1, 1, 1), jnp.int32)
     ar = jnp.arange(W, dtype=jnp.int32)
 
     def body(i, carry):
@@ -143,7 +148,8 @@ def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode):
         yf = jnp.broadcast_to(yy[:, None, :, None], (chunk, W, W, W)).reshape(-1)
         xf = jnp.broadcast_to(xx[:, None, None, :], (chunk, W, W, W)).reshape(-1)
         img = img.at[zf, yf, xf].max(val_patch.reshape(-1), mode="drop")
-        cnt = cnt.at[zf, yf, xf].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
+        if with_count:
+            cnt = cnt.at[zf, yf, xf].add(inside.reshape(-1).astype(jnp.int32), mode="drop")
         return img, cnt
 
     n_chunks = (N + chunk - 1) // chunk
@@ -151,15 +157,17 @@ def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode):
 
 
 def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
-                        chunk=8, mode="full"):
+                        chunk=8, mode="full", return_count=True):
     """Rasterize star polyhedra; per voxel the candidate with the largest
-    positive ``order_values`` entry wins. Returns (winner_img, count_img)."""
+    positive ``order_values`` entry wins. Returns (winner_img, count_img);
+    count_img is None when ``return_count`` is False."""
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     order_values = np.asarray(order_values, np.int32)
     N = len(dist)
     if N == 0:
-        return np.zeros(shape, np.int32), np.zeros(shape, np.int32)
+        z = np.zeros(shape, np.int32)
+        return z, (np.zeros(shape, np.int32) if return_count else None)
     if window is None:
         window = 2 * int(np.ceil(dist.max())) + 4
     window = int(min(window, 2 * max(shape) + 4))
@@ -171,6 +179,6 @@ def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
         jnp.asarray(_pad_to(order_values, Np)),
         jnp.asarray(np.asarray(rays.vertices, np.float32)),
         jnp.asarray(np.asarray(rays.faces, np.int32)),
-        tuple(shape), window, chunk, mode,
+        tuple(shape), window, chunk, mode, bool(return_count),
     )
-    return np.asarray(img), np.asarray(cnt)
+    return np.asarray(img), (np.asarray(cnt) if return_count else None)
