@@ -53,8 +53,9 @@ void sd2d_star_dist(const int32_t* lbl, int H, int W, int n_rays,
         for (;;) {
           t++;
           const float tf = (float)t;
-          const int ii = round_even((float)(i * gy) + tf * dr[k]);
-          const int jj = round_even((float)(j * gx) + tf * dc[k]);
+          // offset rounding (matches the TPU shift-compare kernel)
+          const int ii = i * gy + round_even(tf * dr[k]);
+          const int jj = j * gx + round_even(tf * dc[k]);
           if (ii < 0 || ii >= H || jj < 0 || jj >= W ||
               lbl[(int64_t)ii * W + jj] != v) {
             o[k] = tf - 1.0f + tcorr[k];
@@ -90,14 +91,15 @@ void sd3d_star_dist(const int32_t* lbl, int D, int H, int W,
           for (;;) {
             t++;
             const float tf = (float)t;
-            const float oz = tf * dz, oy = tf * dy, ox = tf * dx;
-            const int ii = round_even((float)(i * gz) + oz);
-            const int jj = round_even((float)(j * gy) + oy);
-            const int kk = round_even((float)(k * gx) + ox);
+            const float rz = std::nearbyint(tf * dz), ry = std::nearbyint(tf * dy),
+                        rx = std::nearbyint(tf * dx);
+            // offset rounding (matches the TPU shift-compare kernel; the
+            // distance uses the rounded offsets like the reference)
+            const int ii = i * gz + (int)rz;
+            const int jj = j * gy + (int)ry;
+            const int kk = k * gx + (int)rx;
             if (ii < 0 || ii >= D || jj < 0 || jj >= H || kk < 0 || kk >= W ||
                 lbl[((int64_t)ii * H + jj) * W + kk] != v) {
-              const float rz = std::nearbyint(oz), ry = std::nearbyint(oy),
-                          rx = std::nearbyint(ox);
               o[n] = std::sqrt(rz * rz + ry * ry + rx * rx);
               break;
             }

@@ -159,6 +159,120 @@ def _greedy_scan(suppress_mat, valid):
 
 
 # ---------------------------------------------------------------------------
+# single-call device greedy NMS (2D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
+    """Greedy NMS entirely on device in ONE call: sequential scan over
+    row blocks of size B; per block the analytic bounds decide most pairs
+    and the exact sampled overlap runs on up to A_max ambiguous columns per
+    row (compacted with nonzero(size=...)). Returns (suppressed, max_amb)
+    where max_amb > A_max signals an overflow (host should retry larger).
+
+    This eliminates the host round-trips of the blocked path — essential on
+    deployments where dispatch latency dominates (e.g. tunneled TPUs).
+    """
+    N, R = dist.shape
+    lo, hi = polygon_bboxes(dist, points)          # (N, 2)
+    area = polygon_areas(dist)
+    rin = _inner_radius_2d(dist)
+    rout = jnp.max(dist, axis=-1)
+    col_ids = jnp.arange(N)
+
+    n_blocks = N // B
+    s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+
+    def block_body(b, carry):
+        suppressed, max_amb = carry
+        i0 = b * B
+        d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
+        p_r = jax.lax.dynamic_slice_in_dim(points, i0, B, 0)
+        lo_r = jax.lax.dynamic_slice_in_dim(lo, i0, B, 0)
+        hi_r = jax.lax.dynamic_slice_in_dim(hi, i0, B, 0)
+        a_r = jax.lax.dynamic_slice_in_dim(area, i0, B, 0)
+        rin_r = jax.lax.dynamic_slice_in_dim(rin, i0, B, 0)
+        rout_r = jax.lax.dynamic_slice_in_dim(rout, i0, B, 0)
+
+        # ---- bounds (B, N) ----
+        ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi[None]) -
+                          jnp.maximum(lo_r[:, None], lo[None]), 0.0)
+        bbox_inter = ext[..., 0] * ext[..., 1]
+        dc = jnp.sqrt(jnp.sum((p_r[:, None] - points[None]) ** 2, axis=-1))
+        denom = jnp.minimum(a_r[:, None], area[None]) + 1e-10
+        ub = jnp.minimum(_lens_area_2d(rout_r[:, None], rout[None], dc), bbox_inter) / denom
+        lb = _lens_area_2d(rin_r[:, None], rin[None], dc) / denom
+        sup_mat = lb > thresh
+        keep = ub <= thresh
+        ambiguous = ~sup_mat & ~keep & valid[None, :]
+        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
+
+        # ---- exact sampled overlap on compacted ambiguous pairs ----
+        amb_idx = jax.vmap(lambda m: jnp.nonzero(m, size=A_max, fill_value=N)[0])(ambiguous)
+        amb_ok = amb_idx < N
+        idx_c = jnp.minimum(amb_idx, N - 1)                     # (B, A)
+        d_c = dist[idx_c]                                        # (B, A, R)
+        p_c = points[idx_c]                                      # (B, A, 2)
+        lo_c = lo[idx_c]
+        hi_c = hi[idx_c]
+        a_c = area[idx_c]
+
+        plo = jnp.maximum(lo_r[:, None], lo_c)                  # (B, A, 2)
+        phi = jnp.minimum(hi_r[:, None], hi_c)
+        extp = jnp.maximum(phi - plo, 0.0)
+        qr = plo[..., 0, None, None] + s_grid[:, None] * extp[..., 0, None, None]
+        qc = plo[..., 1, None, None] + s_grid[None, :] * extp[..., 1, None, None]
+        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(B, A_max, S * S, 2)
+        in_r = points_in_polygons(
+            jnp.broadcast_to(d_r[:, None], (B, A_max, R)),
+            jnp.broadcast_to(p_r[:, None], (B, A_max, 2)), q)
+        in_c = points_in_polygons(d_c, p_c, q)
+        frac = jnp.mean(in_r & in_c, axis=-1)
+        inter = frac * extp[..., 0] * extp[..., 1]
+        exact_sup = inter / (jnp.minimum(a_r[:, None], a_c) + 1e-10) > thresh
+
+        sup_mat = sup_mat.at[jnp.arange(B)[:, None], idx_c].max(exact_sup & amb_ok)
+        sup_mat = sup_mat & (col_ids[None, :] > (i0 + jnp.arange(B))[:, None]) & valid[None, :]
+
+        # ---- sequential greedy within the block ----
+        def inner(r, suppressed):
+            i = i0 + r
+            alive = jnp.logical_not(suppressed[i]) & valid[i]
+            return jnp.where(alive, suppressed | sup_mat[r], suppressed)
+
+        suppressed = jax.lax.fori_loop(0, B, inner, suppressed)
+        return suppressed, max_amb
+
+    suppressed0 = ~valid
+    suppressed, max_amb = jax.lax.fori_loop(0, n_blocks, block_body,
+                                            (suppressed0, jnp.int32(0)))
+    return suppressed, max_amb
+
+
+def _nms_polygons_device(dist, points, thresh, samples=16, row_block=256,
+                         amb_max=512, verbose=False):
+    """Host wrapper for the single-call device NMS with overflow retry."""
+    N = len(dist)
+    Np = _bucket(N, minimum=row_block)
+    d = jnp.asarray(_pad(dist, Np, value=1e-3))
+    p = jnp.asarray(_pad(points, Np, value=-1e9))
+    valid = jnp.arange(Np) < N
+    B = min(row_block, Np)
+    A = amb_max
+    while True:
+        A_p = min(_bucket(A, minimum=64), Np)
+        suppressed, max_amb = _greedy_nms_2d_device(d, p, valid, float(thresh),
+                                                    B, A_p, samples)
+        max_amb = int(max_amb)
+        if max_amb <= A_p or A_p >= Np:
+            break
+        if verbose:
+            print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
+        A = max_amb
+    return ~np.asarray(suppressed)[:N]
+
+
+# ---------------------------------------------------------------------------
 # 2D
 # ---------------------------------------------------------------------------
 
@@ -203,15 +317,18 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
                  use_kdtree=True, verbose=False, samples=16, dense_max=None,
-                 row_block=16, col_block=4096):
+                 row_block=16, col_block=4096, device_nms=None):
     """Greedy NMS over score-sorted 2D star polygons. Returns bool survivors.
 
     Candidates must already be sorted by descending score (same contract as
     reference non_maximum_suppression_inds, stardist/nms.py:186-227).
 
-    dense path (one jit call, default on TPU): full suppression matrix +
-    device greedy scan. blocked path (default on CPU): host-driven greedy
-    that skips suppressed rows, mirroring the reference's row skipping.
+    Three execution paths with identical greedy semantics:
+    - device (default on TPU): ONE jit call — block-sequential scan with
+      bounds + compacted exact overlap, no host round-trips;
+    - dense (small N): full suppression matrix + device greedy scan;
+    - blocked (default on CPU at large N): host-driven greedy with
+      suppressed-row skipping, mirroring the reference's row skipping.
     """
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
@@ -221,8 +338,13 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     if N == 1:
         return np.ones(1, bool)
     thresh = float(thresh)
+    if device_nms is None:
+        device_nms = jax.default_backend() == "tpu"
+    if device_nms:
+        return _nms_polygons_device(dist, points, thresh, samples=samples,
+                                    verbose=verbose)
     if dense_max is None:
-        dense_max = 8192 if jax.default_backend() == "tpu" else 256
+        dense_max = 256
 
     if N <= dense_max:
         Np = _bucket(N)

@@ -4,13 +4,20 @@ TPU-native equivalent of the reference C++ kernel ``c_star_dist``
 (stardist/lib/stardist2d.cpp:55-124): for every grid-th pixel of a label
 image, march along ``n_rays`` equiangular directions until leaving the
 object (or the image); the returned distance includes the reference's
-half-step overshoot correction. Rounding is round-half-to-even, matching
-C ``lrint`` and Python ``round``.
+half-step overshoot correction.
 
-Design notes (TPU): the march is a single ``lax.while_loop`` over the step
-counter, fully vectorized over (pixels x rays); each step is one gather of
-the label image. The loop exits as soon as every ray has terminated, so the
-trip count adapts to the largest object, not the image diagonal.
+Design notes (TPU): TPUs have no gather hardware, so instead of gathering
+label values at per-pixel ray positions, every march step compares the label
+image against a *uniformly shifted* copy of itself (one dynamic-slice per
+ray — contiguous DMA-friendly memory traffic, no gathers). The march is a
+single ``lax.while_loop`` that exits as soon as every ray of every pixel has
+terminated.
+
+Discretization: the reference rounds absolute positions
+(``round(i + t*d)``, round-half-even); the shift formulation rounds the
+offset (``i + round(t*d)``). These agree except when ``frac(t*d)`` is
+exactly 0.5 (a measure-zero event for the equiangular ray directions); the
+numpy oracle below uses the same offset rounding.
 """
 from __future__ import annotations
 
@@ -33,7 +40,7 @@ def _ray_dirs(n_rays):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _star_dist2d_impl(lbl, n_rays, grid, max_steps):
+def _star_dist2d_impl(lbl, n_rays, grid, max_dist):
     H, W = lbl.shape
     gy, gx = grid
     vals = lbl[::gy, ::gx]  # (Ho, Wo)
@@ -44,64 +51,79 @@ def _star_dist2d_impl(lbl, n_rays, grid, max_steps):
     # overshoot correction: on exit at step t, dist = t - 1 + 0.5/max(|dr|,|dc|)
     t_corr = 0.5 / jnp.maximum(adir[:, 0], adir[:, 1])  # (R,)
 
-    rows0 = (jnp.arange(Ho) * gy).astype(jnp.float32)  # center rows
-    cols0 = (jnp.arange(Wo) * gx).astype(jnp.float32)  # center cols
+    # pad with -1 (cannot match any label incl. background 0) so that leaving
+    # the image terminates the march; ray offsets advance by <= 1 pixel per
+    # axis per step, so every ray crossing distance `max_dist` dies at the
+    # sentinel ring (distances are capped at ~max_dist)
+    P = max_dist + 1
+    # a ray's largest offset component grows ~ t * max(|d|) >= t / sqrt(2)
+    max_steps = int(math.ceil(1.45 * P)) + 2
+    lbl_pad = jnp.pad(lbl, P, constant_values=-1)
 
     fg = vals > 0
-    done0 = jnp.broadcast_to(~fg[..., None], (Ho, Wo, n_rays))
+    alive0 = jnp.broadcast_to(fg[..., None], (Ho, Wo, n_rays))
     dist0 = jnp.zeros((Ho, Wo, n_rays), jnp.float32)
 
     def cond(carry):
-        t, done, _ = carry
-        return jnp.logical_and(t <= max_steps, ~jnp.all(done))
+        t, alive, _ = carry
+        return jnp.logical_and(t <= max_steps, jnp.any(alive))
 
     def body(carry):
-        t, done, dist = carry
+        t, alive, dist = carry
         tf = t.astype(jnp.float32)
-        # float32 position accumulation as t * dir (reference accumulates by
-        # repeated addition; identical up to float ulps)
-        pr = rows0[:, None, None] + tf * dirs[None, None, :, 0]  # (Ho,1,R)
-        pc = cols0[None, :, None] + tf * dirs[None, None, :, 1]  # (1,Wo,R)
-        ii = jnp.round(pr).astype(jnp.int32)
-        jj = jnp.round(pc).astype(jnp.int32)
-        oob = (ii < 0) | (ii >= H) | (jj < 0) | (jj >= W)
-        ii_c = jnp.clip(ii, 0, H - 1)
-        jj_c = jnp.clip(jj, 0, W - 1)
-        lab = lbl[ii_c, jj_c]  # (Ho, Wo, R) via broadcasting gather
-        stop = oob | (lab != vals[..., None])
-        newly = stop & ~done
+        # integer offsets per ray (round-half-even, like C lrint)
+        orow = jnp.round(tf * dirs[:, 0]).astype(jnp.int32)  # (R,)
+        ocol = jnp.round(tf * dirs[:, 1]).astype(jnp.int32)
+
+        def one_ray(o_r, o_c):
+            # shifted label image at the grid centers; slice starts stay
+            # non-negative thanks to the padding by max_steps+1
+            shifted = jax.lax.dynamic_slice(lbl_pad, (P + o_r, P + o_c), (H, W))
+            return shifted[::gy, ::gx]
+
+        shifted = jax.vmap(one_ray, out_axes=-1)(orow, ocol)  # (Ho, Wo, R)
+        same = shifted == vals[..., None]
+        newly = alive & ~same
         d = tf - 1.0 + t_corr  # exact distance along unit ray after correction
         dist = jnp.where(newly, d, dist)
-        return t + 1, done | stop, dist
+        return t + 1, alive & same, dist
 
-    _, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(1), done0, dist0))
+    _, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(1), alive0, dist0))
     return dist
 
 
-def star_dist2d_jax(lbl, n_rays=32, grid=(1, 1), max_steps=None):
+_MAX_DIST_CAP = 800  # default cap for very large images (documented)
+
+
+def _default_max_dist(shape):
+    return min(int(math.ceil(math.hypot(*shape))) + 2, _MAX_DIST_CAP)
+
+
+def star_dist2d_jax(lbl, n_rays=32, grid=(1, 1), max_dist=None):
     """Compute 2D star distances on device; returns a numpy float32 array of
-    shape ((H-1)//gy+1, (W-1)//gx+1, n_rays)."""
+    shape ((H-1)//gy+1, (W-1)//gx+1, n_rays). Distances are capped at
+    ``max_dist`` (default: image diagonal, at most 800 px)."""
     lbl = np.asarray(lbl)
-    if max_steps is None:
-        max_steps = int(math.ceil(math.hypot(*lbl.shape))) + 2
+    if max_dist is None:
+        max_dist = _default_max_dist(lbl.shape)
     out = _star_dist2d_impl(jnp.asarray(lbl.astype(np.int32)), int(n_rays),
-                            tuple(int(g) for g in grid), int(max_steps))
+                            tuple(int(g) for g in grid), int(max_dist))
     return np.asarray(out)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _star_dist2d_batch_impl(lbls, n_rays, grid, max_steps):
-    return jax.vmap(lambda l: _star_dist2d_impl(l, n_rays, grid, max_steps))(lbls)
+def _star_dist2d_batch_impl(lbls, n_rays, grid, max_dist):
+    return jax.vmap(lambda l: _star_dist2d_impl(l, n_rays, grid, max_dist))(lbls)
 
 
-def star_dist2d_batch(lbls, n_rays=32, grid=(1, 1), max_steps=None):
+def star_dist2d_batch(lbls, n_rays=32, grid=(1, 1), max_dist=None):
     """Batched star distances (B,H,W) -> (B,Ho,Wo,R) in one device call —
     avoids per-patch dispatch latency in the training data pipeline."""
     lbls = np.asarray(lbls)
-    if max_steps is None:
-        max_steps = int(math.ceil(math.hypot(*lbls.shape[1:]))) + 2
+    if max_dist is None:
+        max_dist = _default_max_dist(lbls.shape[1:])
     out = _star_dist2d_batch_impl(jnp.asarray(lbls.astype(np.int32)), int(n_rays),
-                                  tuple(int(g) for g in grid), int(max_steps))
+                                  tuple(int(g) for g in grid), int(max_dist))
     return np.asarray(out)
 
 
@@ -126,8 +148,8 @@ def star_dist2d_numpy(lbl, n_rays=32, grid=(1, 1)):
                 while True:
                     t += 1
                     tf = np.float32(t)
-                    ii = int(np.round(np.float32(i * gy) + tf * dirs[k, 0]))
-                    jj = int(np.round(np.float32(j * gx) + tf * dirs[k, 1]))
+                    ii = i * gy + int(np.round(tf * dirs[k, 0]))
+                    jj = j * gx + int(np.round(tf * dirs[k, 1]))
                     if ii < 0 or ii >= H or jj < 0 or jj >= W or lbl[ii, jj] != v:
                         dst[i, j, k] = tf - 1.0 + t_corr[k]
                         break
