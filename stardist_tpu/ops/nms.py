@@ -381,6 +381,120 @@ def _dense_suppression_2d(dist, points, valid, S, thresh, row_block):
 
 
 # ---------------------------------------------------------------------------
+# single-call device greedy NMS (3D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max, S):
+    """3D analog of _greedy_nms_2d_device: bounds from sphere lenses + bbox,
+    exact overlap by integer-lattice counting (matching the voxel
+    rasterizer), all in one jit call."""
+    N, R = dist.shape
+    lo, hi = polyhedron_bboxes(dist, points, ray_dirs)
+    vol = polyhedron_volumes(dist, ray_dirs, faces)
+    rin = polyhedron_inner_radius(dist, ray_dirs, faces)
+    rout = jnp.max(dist, axis=-1)
+    inv_all, valid_faces = polyhedron_face_inverses(dist, ray_dirs, faces)  # (N,F,3,3)
+    col_ids = jnp.arange(N)
+    n_blocks = N // B
+    ar = jnp.arange(S, dtype=jnp.float32)
+
+    def block_body(b, carry):
+        suppressed, max_amb = carry
+        i0 = b * B
+        d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
+        p_r = jax.lax.dynamic_slice_in_dim(points, i0, B, 0)
+        lo_r = jax.lax.dynamic_slice_in_dim(lo, i0, B, 0)
+        hi_r = jax.lax.dynamic_slice_in_dim(hi, i0, B, 0)
+        v_r = jax.lax.dynamic_slice_in_dim(vol, i0, B, 0)
+        rin_r = jax.lax.dynamic_slice_in_dim(rin, i0, B, 0)
+        rout_r = jax.lax.dynamic_slice_in_dim(rout, i0, B, 0)
+        inv_r = jax.lax.dynamic_slice_in_dim(inv_all, i0, B, 0)
+        vf_r = jax.lax.dynamic_slice_in_dim(valid_faces, i0, B, 0)
+
+        ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi[None]) -
+                          jnp.maximum(lo_r[:, None], lo[None]), 0.0)
+        bbox_inter = ext[..., 0] * ext[..., 1] * ext[..., 2]
+        dcn = jnp.sqrt(jnp.sum((p_r[:, None] - points[None]) ** 2, axis=-1))
+        denom = jnp.minimum(v_r[:, None], vol[None]) + 1e-10
+        ub = jnp.minimum(_lens_volume_3d(rout_r[:, None], rout[None], dcn), bbox_inter) / denom
+        lb = _lens_volume_3d(rin_r[:, None], rin[None], dcn) / denom
+        sup_mat = lb > thresh
+        keep = ub <= thresh
+        ambiguous = ~sup_mat & ~keep & valid[None, :]
+        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
+
+        amb_idx = jax.vmap(lambda m: jnp.nonzero(m, size=A_max, fill_value=N)[0])(ambiguous)
+        amb_ok = amb_idx < N
+        idx_c = jnp.minimum(amb_idx, N - 1)
+        p_c = points[idx_c]
+        lo_c = lo[idx_c]
+        hi_c = hi[idx_c]
+        v_c = vol[idx_c]
+        inv_c = inv_all[idx_c]
+        vf_c = valid_faces[idx_c]
+
+        plo = jnp.ceil(jnp.maximum(lo_r[:, None], lo_c))
+        phi = jnp.floor(jnp.minimum(hi_r[:, None], hi_c))
+        n_vox = jnp.maximum(phi - plo + 1, 0.0)
+        stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)
+        pos = plo[..., :, None] + stride[..., :, None] * ar    # (B,A,3,S)
+        ok = pos <= phi[..., :, None]
+        qz = pos[..., 0, :][..., :, None, None]
+        qy = pos[..., 1, :][..., None, :, None]
+        qx = pos[..., 2, :][..., None, None, :]
+        q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(B, A_max, S ** 3, 3)
+        m = (ok[..., 0, :][..., :, None, None]
+             & ok[..., 1, :][..., None, :, None]
+             & ok[..., 2, :][..., None, None, :]).reshape(B, A_max, S ** 3)
+        in_r = points_in_polyhedra(inv_r[:, None], vf_r[:, None], p_r[:, None], q)
+        in_c = points_in_polyhedra(inv_c, vf_c, p_c, q)
+        weight = stride[..., 0] * stride[..., 1] * stride[..., 2]
+        count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
+        exact_sup = count * weight / (jnp.minimum(v_r[:, None], v_c) + 1e-10) > thresh
+
+        sup_mat = sup_mat.at[jnp.arange(B)[:, None], idx_c].max(exact_sup & amb_ok)
+        sup_mat = sup_mat & (col_ids[None, :] > (i0 + jnp.arange(B))[:, None]) & valid[None, :]
+
+        def inner(r, suppressed):
+            i = i0 + r
+            alive = jnp.logical_not(suppressed[i]) & valid[i]
+            return jnp.where(alive, suppressed | sup_mat[r], suppressed)
+
+        suppressed = jax.lax.fori_loop(0, B, inner, suppressed)
+        return suppressed, max_amb
+
+    suppressed0 = ~valid
+    suppressed, max_amb = jax.lax.fori_loop(0, n_blocks, block_body,
+                                            (suppressed0, jnp.int32(0)))
+    return suppressed, max_amb
+
+
+def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
+                          amb_max=128, verbose=False):
+    N = len(dist)
+    Np = _bucket(N, minimum=row_block)
+    d = jnp.asarray(_pad(dist, Np, value=1e-3))
+    p = jnp.asarray(_pad(points, Np, value=-1e9))
+    ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+    faces = jnp.asarray(np.asarray(rays.faces, np.int32))
+    valid = jnp.arange(Np) < N
+    B = min(row_block, Np)
+    A = amb_max
+    while True:
+        A_p = min(_bucket(A, minimum=32), Np)
+        suppressed, max_amb = _greedy_nms_3d_device(d, p, ray_dirs, faces, valid,
+                                                    float(thresh), B, A_p, samples)
+        max_amb = int(max_amb)
+        if max_amb <= A_p or A_p >= Np:
+            break
+        if verbose:
+            print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
+        A = max_amb
+    return ~np.asarray(suppressed)[:N]
+
+
+# ---------------------------------------------------------------------------
 # 3D
 # ---------------------------------------------------------------------------
 
@@ -428,7 +542,7 @@ def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, th
 
 def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
                   use_kdtree=True, verbose=False, samples=12, dense_max=None,
-                  row_block=8, col_block=128):
+                  row_block=8, col_block=128, device_nms=None):
     """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors."""
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
@@ -438,8 +552,13 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
     if N == 1:
         return np.ones(1, bool)
     thresh = float(thresh)
+    if device_nms is None:
+        device_nms = jax.default_backend() == "tpu"
+    if device_nms:
+        return _nms_polyhedra_device(dist, points, rays, thresh, samples=samples,
+                                     verbose=verbose)
     if dense_max is None:
-        dense_max = 512 if jax.default_backend() == "tpu" else 32
+        dense_max = 32
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
 

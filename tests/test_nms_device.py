@@ -35,3 +35,19 @@ def test_device_nms_thresh_zero():
     a = nms_polygons(dist, points, scores=scores, thresh=0.0, device_nms=False)
     b = _nms_polygons_device(dist, points, 0.0)
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("n,thresh", [(40, 0.3), (150, 0.5)])
+def test_device_nms_3d_equals_host(n, thresh):
+    from stardist_tpu.ops.nms import nms_polyhedra, _nms_polyhedra_device
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+
+    rays = Rays_GoldenSpiral(16)
+    rng = np.random.RandomState(n)
+    dist = rng.uniform(4, 7, (n, 16)).astype(np.float32)
+    points = rng.uniform(8, 60, (n, 3)).astype(np.float32)
+    scores = np.sort(rng.uniform(0, 1, n))[::-1]
+    a = nms_polyhedra(dist, points, rays, scores=scores, thresh=thresh,
+                      device_nms=False, samples=12)
+    b = _nms_polyhedra_device(dist, points, rays, thresh, samples=12)
+    assert np.array_equal(a, b), np.flatnonzero(a != b)[:10]
