@@ -83,8 +83,7 @@ def main():
 
     def run():
         labels, polys = model.predict_instances(
-            img, prob_thresh=0.5, show_tile_progress=False,
-            nms_kwargs=dict(row_block=512, col_block=1 << 18))
+            img, prob_thresh=0.5, show_tile_progress=False)
         return labels, polys
 
     # warmup (compilation)

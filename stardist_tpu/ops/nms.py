@@ -249,23 +249,40 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
     return suppressed, max_amb
 
 
-def _nms_polygons_device(dist, points, thresh, samples=16, row_block=256,
-                         amb_max=512, verbose=False):
-    """Host wrapper for the single-call device NMS with overflow retry."""
+def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
+                         amb_max=512, amb_cap=4096, pair_budget=1 << 17,
+                         verbose=False):
+    """Host wrapper for the single-call device NMS with overflow retry.
+
+    Memory control: B*A_max is kept under ``pair_budget`` (the exact-overlap
+    sample tensor is B*A*S^2*2 floats). If the ambiguous-column count exceeds
+    ``amb_cap`` even at the smallest block size, falls back to the host
+    blocked path (correctness over speed)."""
     N = len(dist)
-    Np = _bucket(N, minimum=row_block)
+    Np = _bucket(N, minimum=8)
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
     p = jnp.asarray(_pad(points, Np, value=-1e9))
     valid = jnp.arange(Np) < N
-    B = min(row_block, Np)
     A = amb_max
     while True:
         A_p = min(_bucket(A, minimum=64), Np)
+        B = max(8, min(row_block, pair_budget // A_p, Np))
+        while Np % B != 0:
+            B //= 2
         suppressed, max_amb = _greedy_nms_2d_device(d, p, valid, float(thresh),
                                                     B, A_p, samples)
         max_amb = int(max_amb)
         if max_amb <= A_p or A_p >= Np:
             break
+        if max_amb > amb_cap:
+            if verbose:
+                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap}; "
+                      "falling back to host blocked path", flush=True)
+            return _blocked_greedy(
+                lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
+                dist, points, thresh, row_block=row_block, verbose=verbose,
+                bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
+            )
         if verbose:
             print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
         A = max_amb
@@ -471,23 +488,38 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
 
 
 def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
-                          amb_max=128, verbose=False):
+                          amb_max=128, amb_cap=2048, pair_budget=1 << 12,
+                          verbose=False):
     N = len(dist)
-    Np = _bucket(N, minimum=row_block)
+    Np = _bucket(N, minimum=8)
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
     p = jnp.asarray(_pad(points, Np, value=-1e9))
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
     valid = jnp.arange(Np) < N
-    B = min(row_block, Np)
     A = amb_max
     while True:
         A_p = min(_bucket(A, minimum=32), Np)
+        B = max(4, min(row_block, pair_budget // A_p, Np))
+        while Np % B != 0:
+            B //= 2
         suppressed, max_amb = _greedy_nms_3d_device(d, p, ray_dirs, faces, valid,
                                                     float(thresh), B, A_p, samples)
         max_amb = int(max_amb)
         if max_amb <= A_p or A_p >= Np:
             break
+        if max_amb > amb_cap:
+            if verbose:
+                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap}; "
+                      "falling back to host blocked path", flush=True)
+            overlap_fn = lambda dr, pr, dc, pc: _overlap_block_3d(
+                dr, pr, dc, pc, ray_dirs, faces, max(samples, 12), thresh)
+            return _blocked_greedy(
+                overlap_fn, dist, points, thresh, row_block=8, col_block=128,
+                verbose=verbose,
+                bounds_fn=lambda dr, pr, dc, pc: _bounds_block_3d(
+                    dr, pr, dc, pc, ray_dirs, faces, thresh),
+            )
         if verbose:
             print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
         A = max_amb

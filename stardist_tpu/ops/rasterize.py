@@ -67,7 +67,10 @@ def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist, with_count):
         return img, cnt
 
     n_chunks = (N + chunk - 1) // chunk
-    return jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+    img, cnt = jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+    if N < 2 ** 16 - 1:
+        img = img.astype(jnp.uint16)  # halves the device->host transfer
+    return img, cnt
 
 
 def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256,
@@ -96,7 +99,8 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         (float(scale_dist[0]), float(scale_dist[1])),
         bool(return_count),
     )
-    return np.asarray(img), (np.asarray(cnt) if return_count else None)
+    return (np.asarray(img).astype(np.int32),
+            (np.asarray(cnt) if return_count else None))
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -153,7 +157,10 @@ def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode,
         return img, cnt
 
     n_chunks = (N + chunk - 1) // chunk
-    return jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+    img, cnt = jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
+    if N < 2 ** 16 - 1:
+        img = img.astype(jnp.uint16)  # halves the device->host transfer
+    return img, cnt
 
 
 def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
@@ -181,4 +188,5 @@ def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
         jnp.asarray(np.asarray(rays.faces, np.int32)),
         tuple(shape), window, chunk, mode, bool(return_count),
     )
-    return np.asarray(img), (np.asarray(cnt) if return_count else None)
+    return (np.asarray(img).astype(np.int32),
+            (np.asarray(cnt) if return_count else None))
