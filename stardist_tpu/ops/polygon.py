@@ -12,6 +12,8 @@ the edge (v_k, v_{k+1}). This is O(1) per point — no loop over vertices.
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,30 +44,37 @@ def points_in_polygons(dist, points, query):
     points : (..., 2)    polygon centers (row, col)
     query  : (..., S, 2) query points (row, col), batch dims broadcast
     returns: (..., S) bool
+
+    Gather-free formulation for TPU: instead of looking up the wedge's edge
+    with take_along_axis (TPUs have no gather hardware), the edge test is
+    evaluated for every wedge (static unrolled loop over R) and selected by
+    the wedge index — pure VPU element-wise work, ray angles are compile-time
+    constants.
     """
     R = dist.shape[-1]
     dphi = 2 * np.pi / R
     u = query - points[..., None, :]  # (..., S, 2) rel. center
-    theta = jnp.arctan2(u[..., 0], u[..., 1])  # row ~ sin, col ~ cos
+    ur = u[..., 0]
+    uc = u[..., 1]
+    theta = jnp.arctan2(ur, uc)  # row ~ sin, col ~ cos
     theta = jnp.mod(theta, 2 * np.pi)
     k = jnp.clip(jnp.floor(theta / dphi).astype(jnp.int32), 0, R - 1)  # (..., S)
-    k1 = jnp.where(k + 1 >= R, 0, k + 1)
 
-    d0 = jnp.take_along_axis(dist, k, axis=-1)  # (..., S)
-    d1 = jnp.take_along_axis(dist, k1, axis=-1)
-    phi0 = k.astype(jnp.float32) * dphi
-    phi1 = (k + 1).astype(jnp.float32) * dphi
-    # edge endpoints relative to center
-    v0r = d0 * jnp.sin(phi0)
-    v0c = d0 * jnp.cos(phi0)
-    v1r = d1 * jnp.sin(phi1)
-    v1c = d1 * jnp.cos(phi1)
-    er = v1r - v0r
-    ec = v1c - v0c
-    # point on the same side of the edge as the center (cross products)
-    cross_p = er * (u[..., 1] - v0c) - ec * (u[..., 0] - v0r)
-    cross_c = er * (0.0 - v0c) - ec * (0.0 - v0r)
-    return cross_p * cross_c >= 0
+    inside = jnp.zeros(k.shape, bool)
+    for r in range(R):
+        s0, c0 = math.sin(r * dphi), math.cos(r * dphi)
+        s1, c1 = math.sin((r + 1) * dphi), math.cos((r + 1) * dphi)
+        d0 = dist[..., r][..., None]            # (..., 1) broadcasts over S
+        d1 = dist[..., (r + 1) % R][..., None]
+        v0r = d0 * s0
+        v0c = d0 * c0
+        er = d1 * s1 - v0r
+        ec = d1 * c1 - v0c
+        # point on the same side of the edge as the center (cross products)
+        cross_p = er * (uc - v0c) - ec * (ur - v0r)
+        cross_c = ec * v0r - er * v0c
+        inside = inside | ((k == r) & (cross_p * cross_c >= 0))
+    return inside
 
 
 def polygon_bboxes(dist, points):
