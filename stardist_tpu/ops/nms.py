@@ -249,15 +249,10 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
     return suppressed, max_amb
 
 
-def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
-                         amb_max=512, amb_cap=4096, pair_budget=1 << 17,
-                         verbose=False):
-    """Host wrapper for the single-call device NMS with overflow retry.
-
-    Memory control: B*A_max is kept under ``pair_budget`` (the exact-overlap
-    sample tensor is B*A*S^2*2 floats). If the ambiguous-column count exceeds
-    ``amb_cap`` even at the smallest block size, falls back to the host
-    blocked path (correctness over speed)."""
+def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
+                                amb_max, amb_cap, pair_budget, verbose):
+    """One fixed-size device-NMS invocation with ambiguous-cap retry; input
+    already padded/truncated to a bucketed size by the caller."""
     N = len(dist)
     Np = _bucket(N, minimum=8)
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
@@ -287,6 +282,59 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
             print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
         A = max_amb
     return ~np.asarray(suppressed)[:N]
+
+
+def _chunked_device_nms(single_fn, N, kernel_size, verbose):
+    """Exact greedy NMS for arbitrary N with a fixed-size kernel: candidates
+    are processed in score order in chunks; each round re-runs the kernel on
+    [established survivors ++ next chunk]. Established survivors are final
+    (later candidates have lower scores and cannot suppress them), suppressed
+    candidates never suppress — so the result equals one global greedy pass.
+    """
+    survivors_idx = np.zeros(0, np.int64)
+    pos = 0
+    ks = kernel_size
+    while pos < N:
+        room = ks - len(survivors_idx)
+        if room < max(256, ks // 8):
+            ks *= 2  # survivors filled the kernel; accept a recompile
+            room = ks - len(survivors_idx)
+            if verbose:
+                print(f"NMS: growing kernel size to {ks}", flush=True)
+        chunk_idx = np.arange(pos, min(N, pos + room))
+        cand_idx = np.concatenate([survivors_idx, chunk_idx])
+        keep = single_fn(cand_idx, ks)
+        survivors_idx = cand_idx[keep[:len(cand_idx)]]
+        pos = chunk_idx[-1] + 1
+        if verbose:
+            print(f"NMS: processed {pos}/{N}, survivors {len(survivors_idx)}", flush=True)
+    out = np.zeros(N, bool)
+    out[survivors_idx] = True
+    return out
+
+
+def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
+                         amb_max=512, amb_cap=4096, pair_budget=1 << 17,
+                         kernel_size=16384, verbose=False):
+    """Device NMS driver: single fixed-size kernel call when N fits, exact
+    survivor-chunked rounds otherwise (bounded compile sizes)."""
+    N = len(dist)
+    if N <= kernel_size:
+        return _nms_polygons_device_single(dist, points, thresh, samples,
+                                           row_block, amb_max, amb_cap,
+                                           pair_budget, verbose)
+
+    def single_fn(cand_idx, ks):
+        # pad to the fixed kernel size so every round reuses one compilation;
+        # pad rows are far-away dummy polygons that neither suppress nor
+        # affect real candidates and are sliced off by the caller
+        keep = _nms_polygons_device_single(
+            _pad(dist[cand_idx], ks, value=1e-3),
+            _pad(points[cand_idx], ks, value=-1e9),
+            thresh, samples, row_block, amb_max, amb_cap, pair_budget, verbose)
+        return keep[:len(cand_idx)]
+
+    return _chunked_device_nms(single_fn, N, kernel_size, verbose)
 
 
 # ---------------------------------------------------------------------------
@@ -489,8 +537,19 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
 
 def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
                           amb_max=128, amb_cap=2048, pair_budget=1 << 12,
-                          verbose=False):
+                          kernel_size=4096, verbose=False):
     N = len(dist)
+    if N > kernel_size:
+        def single_fn(cand_idx, ks):
+            keep = _nms_polyhedra_device(
+                _pad(dist[cand_idx], ks, value=1e-3),
+                _pad(points[cand_idx], ks, value=-1e9),
+                rays, thresh, samples=samples, row_block=row_block,
+                amb_max=amb_max, amb_cap=amb_cap, pair_budget=pair_budget,
+                kernel_size=ks, verbose=verbose)
+            return keep[:len(cand_idx)]
+
+        return _chunked_device_nms(single_fn, N, kernel_size, verbose)
     Np = _bucket(N, minimum=8)
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
     p = jnp.asarray(_pad(points, Np, value=-1e9))
