@@ -81,6 +81,24 @@ _patch_from_pretrained()
 del _patch_from_pretrained
 
 
+def _register_reference_zoo():
+    """Names of the reference's pretrained zoo (stardist/models/__init__.py:
+    19-27). Downloading is unavailable in this offline build; from_pretrained
+    raises an informative error for URL sources, but the names/aliases are
+    registered for API parity."""
+    base = "https://github.com/stardist/stardist-models/releases/download"
+    register_model(StarDist2D, "2D_versatile_fluo", f"{base}/v0.1/2D_versatile_fluo.zip")
+    register_model(StarDist2D, "2D_versatile_he", f"{base}/v0.1/2D_versatile_he.zip")
+    register_model(StarDist2D, "2D_paper_dsb2018", f"{base}/v0.1/2D_paper_dsb2018.zip")
+    register_aliases(StarDist2D, "2D_versatile_fluo", "Versatile (fluorescent nuclei)")
+    register_aliases(StarDist2D, "2D_versatile_he", "Versatile (H&E nuclei)")
+    register_aliases(StarDist2D, "2D_paper_dsb2018", "DSB 2018 (from StarDist 2D paper)")
+
+
+_register_reference_zoo()
+del _register_reference_zoo
+
+
 def _register_demo_models():
     """Register the demo models committed under <repo>/models/examples
     (analog of the reference's downloadable registry,
