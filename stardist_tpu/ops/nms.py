@@ -63,6 +63,27 @@ def _pad(x, n, value=0.0):
 # stardist3d_impl.cpp:1209-1330)
 # ---------------------------------------------------------------------------
 
+def _lens_area_lb(r1, r2, d):
+    """Arccos-free LOWER bound of the disc-intersection area: area of the
+    largest disc inscribed in the lens (radius (r1+r2-d)/2, capped at
+    min(r1,r2)). Transcendental-free for the N^2 bounds sweep."""
+    rho = jnp.maximum(jnp.minimum((r1 + r2 - d) * 0.5, jnp.minimum(r1, r2)), 0.0)
+    return np.pi * rho * rho
+
+
+def _lens_area_ub(r1, r2, d):
+    """Arccos-free UPPER bound of the disc-intersection area: the lens fits
+    in a w x h box (w along the center line, h the chord at the radical
+    line), and in the smaller disc."""
+    rmin = jnp.minimum(r1, r2)
+    w = jnp.maximum(r1 + r2 - d, 0.0)
+    d_safe = jnp.maximum(d, 1e-6)
+    x1 = (d_safe * d_safe + r1 * r1 - r2 * r2) / (2 * d_safe)
+    h = 2.0 * jnp.sqrt(jnp.maximum(r1 * r1 - x1 * x1, 0.0))
+    box = jnp.where(d <= jnp.abs(r1 - r2), np.pi * rmin * rmin, w * h)
+    return jnp.minimum(box, np.pi * rmin * rmin)
+
+
 def _lens_area_2d(r1, r2, d):
     """Intersection area of two discs."""
     d = jnp.maximum(d, 1e-6)
@@ -114,8 +135,8 @@ def _bounds_block_2d(dist_r, points_r, dist_c, points_c, thresh):
     bbox_inter = ext[..., 0] * ext[..., 1]
     dc = jnp.sqrt(jnp.sum((points_r[:, None] - points_c[None]) ** 2, axis=-1))
     denom = jnp.minimum(area_r[:, None], area_c[None]) + 1e-10
-    ub = jnp.minimum(_lens_area_2d(rout_r[:, None], rout_c[None], dc), bbox_inter) / denom
-    lb = _lens_area_2d(rin_r[:, None], rin_c[None], dc) / denom
+    ub = jnp.minimum(_lens_area_ub(rout_r[:, None], rout_c[None], dc), bbox_inter) / denom
+    lb = _lens_area_lb(rin_r[:, None], rin_c[None], dc) / denom
     return lb > thresh, ub <= thresh
 
 
@@ -184,6 +205,15 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
     s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
 
     def block_body(b, carry):
+        # skip blocks whose rows are all suppressed already (common in the
+        # low-score tail — the reference's `if suppressed[i]: continue`)
+        i0 = b * B
+        rows_sup = jax.lax.dynamic_slice_in_dim(carry[0], i0, B, 0)
+        rows_valid = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
+        any_alive = jnp.any(~rows_sup & rows_valid)
+        return jax.lax.cond(any_alive, lambda c: _block_work(b, c), lambda c: c, carry)
+
+    def _block_work(b, carry):
         suppressed, max_amb = carry
         i0 = b * B
         d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
@@ -200,8 +230,8 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
         bbox_inter = ext[..., 0] * ext[..., 1]
         dc = jnp.sqrt(jnp.sum((p_r[:, None] - points[None]) ** 2, axis=-1))
         denom = jnp.minimum(a_r[:, None], area[None]) + 1e-10
-        ub = jnp.minimum(_lens_area_2d(rout_r[:, None], rout[None], dc), bbox_inter) / denom
-        lb = _lens_area_2d(rin_r[:, None], rin[None], dc) / denom
+        ub = jnp.minimum(_lens_area_ub(rout_r[:, None], rout[None], dc), bbox_inter) / denom
+        lb = _lens_area_lb(rin_r[:, None], rin[None], dc) / denom
         sup_mat = lb > thresh
         keep = ub <= thresh
         ambiguous = ~sup_mat & ~keep & valid[None, :]
@@ -465,6 +495,13 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
     ar = jnp.arange(S, dtype=jnp.float32)
 
     def block_body(b, carry):
+        i0 = b * B
+        rows_sup = jax.lax.dynamic_slice_in_dim(carry[0], i0, B, 0)
+        rows_valid = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
+        any_alive = jnp.any(~rows_sup & rows_valid)
+        return jax.lax.cond(any_alive, lambda c: _block_work(b, c), lambda c: c, carry)
+
+    def _block_work(b, carry):
         suppressed, max_amb = carry
         i0 = b * B
         d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
