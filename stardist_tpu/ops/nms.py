@@ -314,16 +314,46 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
     return ~np.asarray(suppressed)[:N]
 
 
-def _chunked_device_nms(single_fn, N, kernel_size, verbose):
+@functools.partial(jax.jit, static_argnums=(4,))
+def _presuppress_2d(dist_s, points_s, dist_c, points_c, thresh):
+    """killed (C,) = definitely suppressed by some established survivor
+    (inscribed-disc lower bound only — consistent with the greedy kernel's
+    own suppression bound). Row-blocked to bound memory."""
+    S = dist_s.shape[0]
+    B = 512
+    rin_s = _inner_radius_2d(dist_s)
+    rin_c = _inner_radius_2d(dist_c)
+    area_s = polygon_areas(dist_s)
+    area_c = polygon_areas(dist_c)
+
+    def body(b, killed):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * B, B, 0)
+        dc = jnp.sqrt(jnp.sum((sl(points_s)[:, None] - points_c[None]) ** 2, axis=-1))
+        denom = jnp.minimum(sl(area_s)[:, None], area_c[None]) + 1e-10
+        lb = _lens_area_lb(sl(rin_s)[:, None], rin_c[None], dc) / denom
+        return killed | jnp.any(lb > thresh, axis=0)
+
+    killed0 = jnp.zeros(dist_c.shape[0], bool)
+    return jax.lax.fori_loop(0, max(1, S // B), body, killed0)
+
+
+def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
+                        raw_chunk=None):
     """Exact greedy NMS for arbitrary N with a fixed-size kernel: candidates
     are processed in score order in chunks; each round re-runs the kernel on
     [established survivors ++ next chunk]. Established survivors are final
     (later candidates have lower scores and cannot suppress them), suppressed
     candidates never suppress — so the result equals one global greedy pass.
+
+    ``prefilter_fn(survivor_idx, chunk_idx) -> killed`` may cheaply mark
+    chunk candidates that are definitely suppressed by a survivor (must use
+    the same suppression lower bound as the kernel) before the greedy round.
     """
     survivors_idx = np.zeros(0, np.int64)
     pos = 0
     ks = kernel_size
+    if raw_chunk is None:
+        raw_chunk = 4 * kernel_size
     while pos < N:
         room = ks - len(survivors_idx)
         if room < max(256, ks // 8):
@@ -331,11 +361,33 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose):
             room = ks - len(survivors_idx)
             if verbose:
                 print(f"NMS: growing kernel size to {ks}", flush=True)
-        chunk_idx = np.arange(pos, min(N, pos + room))
-        cand_idx = np.concatenate([survivors_idx, chunk_idx])
+        if prefilter_fn is not None and len(survivors_idx):
+            # collect up to `room` not-definitely-killed candidates from a
+            # larger raw window
+            pending = []
+            n_pending = 0
+            while pos < N and n_pending < room:
+                raw_idx = np.arange(pos, min(N, pos + raw_chunk))
+                killed = prefilter_fn(survivors_idx, raw_idx)
+                kept = raw_idx[~killed]
+                # only take as many as fit; the rest is re-examined next round
+                if n_pending + len(kept) > room:
+                    cut = kept[room - n_pending]
+                    kept = kept[kept < cut]
+                    pos = int(cut)
+                else:
+                    pos = raw_idx[-1] + 1
+                pending.append(kept)
+                n_pending += len(kept)
+            chunk_idx = np.concatenate(pending) if pending else np.zeros(0, np.int64)
+            if len(chunk_idx) == 0:
+                continue
+        else:
+            chunk_idx = np.arange(pos, min(N, pos + room))
+            pos = chunk_idx[-1] + 1
+        cand_idx = np.concatenate([survivors_idx, chunk_idx]).astype(np.int64)
         keep = single_fn(cand_idx, ks)
         survivors_idx = cand_idx[keep[:len(cand_idx)]]
-        pos = chunk_idx[-1] + 1
         if verbose:
             print(f"NMS: processed {pos}/{N}, survivors {len(survivors_idx)}", flush=True)
     out = np.zeros(N, bool)
@@ -364,7 +416,19 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
             thresh, samples, row_block, amb_max, amb_cap, pair_budget, verbose)
         return keep[:len(cand_idx)]
 
-    return _chunked_device_nms(single_fn, N, kernel_size, verbose)
+    def prefilter_fn(surv_idx, raw_idx):
+        Sp = _bucket(len(surv_idx), minimum=512)
+        Cp = _bucket(len(raw_idx), minimum=1024)
+        killed = _presuppress_2d(
+            jnp.asarray(_pad(dist[surv_idx], Sp, value=1e-3)),
+            jnp.asarray(_pad(points[surv_idx], Sp, value=-1e9)),
+            jnp.asarray(_pad(dist[raw_idx], Cp, value=1e-3)),
+            jnp.asarray(_pad(points[raw_idx], Cp, value=1e9)),
+            float(thresh))
+        return np.asarray(killed)[:len(raw_idx)]
+
+    return _chunked_device_nms(single_fn, N, kernel_size, verbose,
+                               prefilter_fn=prefilter_fn)
 
 
 # ---------------------------------------------------------------------------
