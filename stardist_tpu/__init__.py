@@ -49,3 +49,6 @@ from .rays3d import (
     reorder_faces,
 )
 from .sample_patches import sample_patches
+from .plot.plot import random_label_cmap, draw_polygons, _draw_polygons
+from .plot.render import render_label, render_label_pred
+from .bioimageio_utils import export_bioimageio, import_bioimageio

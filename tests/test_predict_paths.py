@@ -1,0 +1,85 @@
+"""Prediction-path edge cases: generators, return_predict, return_labels,
+channel axes, receptive field."""
+import numpy as np
+import pytest
+
+from stardist_tpu.models import Config2D, StarDist2D
+from utils import synthetic_nuclei_2d
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pp")
+    imgs, lbls = [], []
+    for i in range(2):
+        img, lbl = synthetic_nuclei_2d((96, 96), seed=i)
+        imgs.append(img)
+        lbls.append(lbl.astype(np.int32))
+    cfg = Config2D(n_rays=16, grid=(2, 2), unet_n_depth=2, unet_n_filter_base=8,
+                   net_conv_after_unet=16, train_patch_size=(64, 64),
+                   train_batch_size=2, train_reduce_lr=None)
+    m = StarDist2D(cfg, name="pp", basedir=str(tmp))
+    m.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]), seed=0,
+            epochs=2, steps_per_epoch=6)
+    return m
+
+
+def test_generator_protocol(model):
+    """The generator yields progress markers then the result (napari contract,
+    reference base.py:775-790)."""
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    events = list(model._predict_instances_generator(img, prob_thresh=0.6))
+    assert events[0] == "predict"
+    assert "nms" in events
+    labels, details = events[-1]
+    assert isinstance(details, dict)
+
+
+def test_return_predict(model):
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    (labels, details), (prob, dist) = model.predict_instances(
+        img, prob_thresh=0.6, return_predict=True)
+    assert prob.shape == (48, 48)
+    assert dist.shape == (48, 48, 16)
+
+
+def test_return_labels_false(model):
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    labels, details = model.predict_instances(img, prob_thresh=0.6, return_labels=False)
+    assert labels is None and "points" in details
+
+
+def test_channel_axis(model):
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    labels1, _ = model.predict_instances(img, prob_thresh=0.6)
+    labels2, _ = model.predict_instances(img[..., np.newaxis], axes="YXC", prob_thresh=0.6)
+    assert np.array_equal(labels1, labels2)
+    # channel-first input is permuted
+    labels3, _ = model.predict_instances(img[np.newaxis], axes="CYX", prob_thresh=0.6)
+    assert np.array_equal(labels1, labels3)
+
+
+def test_receptive_field(model):
+    rf = model._compute_receptive_field()
+    assert len(rf) == 2
+    assert all(lo > 0 and hi > 0 for lo, hi in rf)
+    overlap = model._axes_tile_overlap("YX")
+    assert all(o > 0 for o in overlap)
+
+
+def test_guess_n_tiles(model):
+    img = np.zeros((1024, 1024), np.float32)
+    nt = model._guess_n_tiles(img)
+    assert len(nt) == 2 and all(t >= 1 for t in nt)
+
+
+def test_odd_sizes_padding(model):
+    """Non-divisible image sizes are padded and cropped transparently."""
+    for shape in ((97, 101), (65, 130)):
+        img, _ = synthetic_nuclei_2d((160, 160), seed=3)
+        img = img[: shape[0], : shape[1]]
+        labels, details = model.predict_instances(img, prob_thresh=0.6)
+        assert labels.shape == shape
+        if len(details["points"]):
+            assert details["points"].max(axis=0)[0] < shape[0]
+            assert details["points"].max(axis=0)[1] < shape[1]
