@@ -1214,11 +1214,16 @@ class StarDistBase:
     def _instances_from_prediction(self, *args, **kwargs):
         raise NotImplementedError()
 
-    def export_TF(self, *args, **kwargs):
-        raise NotImplementedError(
-            "TensorFlow SavedModel export is not available in stardist_tpu "
-            "(no TF dependency); use export_bioimageio or the flax weights directly."
-        )
+    def export_TF(self, fname=None, single_output=True, upsample_grid=True):
+        """Export the model as a zipped TF SavedModel for the CSBDeep/StarDist
+        Fiji plugin (reference base.py:1113-1158): plain-TF-op replay of the
+        flax network, optional grid upsampling (sparse transposed-conv prob +
+        nearest dist), optional single concatenated output. Returns the path
+        of the written zip."""
+        from .export_tf import export_tf_saved_model
+        return export_tf_saved_model(self, fname=fname,
+                                     single_output=single_output,
+                                     upsample_grid=upsample_grid)
 
 
 def _strip_derived(cfg_dict):

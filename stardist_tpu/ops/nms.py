@@ -12,19 +12,21 @@ Design: instead of per-pair exact clipping (irregular, host-bound), the
 pairwise intersection is measured on a sampling grid over the bbox
 intersection — continuous sub-pixel sampling in 2D, integer-lattice (voxel)
 counting in 3D to agree with the voxel rasterizer's notion of overlap.
-Areas/volumes in the denominator are analytic. The greedy pass is a
-sequential scan over the pre-computed boolean suppression matrix
-(``lax.fori_loop``), which reproduces the reference's greedy semantics
-exactly: a survivor suppresses all later overlapping candidates; suppressed
-candidates suppress nothing.
+Areas/volumes in the denominator are analytic. The greedy pass reproduces
+the reference's semantics exactly — a survivor suppresses all later
+overlapping candidates; suppressed candidates suppress nothing — but is
+resolved as the unique fixpoint of the triangular recursion via Jacobi
+iteration on the (N, N) 0/1 suppression matrix (MXU matvecs), not as a
+sequential scan (see `_greedy_fixpoint`).
 
-Two execution paths:
-- dense (N <= dense_max): one jit call builds the full (N, N) overlap matrix
-  and runs the greedy scan on device.
-- blocked (large N): score-ordered blocks of rows are processed on device
-  against the currently-unsuppressed columns, with the greedy bookkeeping on
-  host — work shrinks as candidates get suppressed (mirrors the reference's
-  ``if suppressed[i]: continue`` row skipping).
+Execution paths:
+- device (default on TPU): one jit call builds the suppression matrix in
+  row blocks (analytic bounds decide most pairs; exact sampled overlap on
+  top_k-compacted ambiguous pairs) and runs the Jacobi fixpoint; arbitrary
+  N via exact survivor-chunked rounds on a fixed-size kernel.
+- dense (small N, CPU): full overlap matrix + greedy scan.
+- blocked (large N, CPU): host-driven greedy with suppressed-row skipping,
+  mirroring the reference's ``if suppressed[i]: continue`` row skipping.
 """
 from __future__ import annotations
 
@@ -73,15 +75,21 @@ def _lens_area_lb(r1, r2, d):
 
 def _lens_area_ub(r1, r2, d):
     """Arccos-free UPPER bound of the disc-intersection area: the lens fits
-    in a w x h box (w along the center line, h the chord at the radical
-    line), and in the smaller disc."""
+    in a w x h box (w along the center line) and in the smaller disc.
+
+    The radical-line chord is the lens's widest cross-section ONLY when the
+    radical line lies between the two centers (0 <= x1 <= d). Otherwise one
+    disc (nearly) contains the other and the intersection is as tall as the
+    smaller disc's diameter — using the chord there under-estimates the
+    area and (as an upper bound) silently keeps heavily-overlapping pairs.
+    """
     rmin = jnp.minimum(r1, r2)
     w = jnp.maximum(r1 + r2 - d, 0.0)
     d_safe = jnp.maximum(d, 1e-6)
     x1 = (d_safe * d_safe + r1 * r1 - r2 * r2) / (2 * d_safe)
-    h = 2.0 * jnp.sqrt(jnp.maximum(r1 * r1 - x1 * x1, 0.0))
-    box = jnp.where(d <= jnp.abs(r1 - r2), np.pi * rmin * rmin, w * h)
-    return jnp.minimum(box, np.pi * rmin * rmin)
+    h_chord = 2.0 * jnp.sqrt(jnp.maximum(r1 * r1 - x1 * x1, 0.0))
+    h = jnp.where((x1 >= 0.0) & (x1 <= d_safe), h_chord, 2.0 * rmin)
+    return jnp.minimum(w * h, np.pi * rmin * rmin)
 
 
 def _lens_area_2d(r1, r2, d):
@@ -183,16 +191,61 @@ def _greedy_scan(suppress_mat, valid):
 # single-call device greedy NMS (2D)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
-    """Greedy NMS entirely on device in ONE call: sequential scan over
-    row blocks of size B; per block the analytic bounds decide most pairs
-    and the exact sampled overlap runs on up to A_max ambiguous columns per
-    row (compacted with nonzero(size=...)). Returns (suppressed, max_amb)
-    where max_amb > A_max signals an overflow (host should retry larger).
+def _greedy_fixpoint(sup_mat, valid):
+    """Greedy survivors from the full pairwise suppression matrix.
 
-    This eliminates the host round-trips of the blocked path — essential on
-    deployments where dispatch latency dominates (e.g. tunneled TPUs).
+    ``sup_mat[j, i]`` is nonzero (0/1 bfloat16) iff candidate j (earlier in
+    score order) would suppress i *were j kept*. The greedy recursion
+
+        keep[i] = valid[i] and not any_j (sup_mat[j, i] and keep[j])
+
+    is triangular (sup only for j < i), hence has a UNIQUE fixpoint — the
+    greedy result. Jacobi iteration (recompute all rows from the previous
+    iterate) converges in O(longest suppression chain) steps: after t
+    iterations every candidate whose suppression-dependency depth is <= t
+    is final, and a stable iterate satisfies the recursion everywhere.
+    This replaces the N sequential greedy steps of the reference C++ loop
+    (stardist/lib/stardist2d.cpp:524-588) with a few vector-matrix products
+    on the MXU — the TPU-native formulation (sequential scalar loops are
+    latency-bound, and the 0/1 matvec `killed = keep @ sup` runs at matmul
+    speed; counts are exact in the float32 accumulator).
+    """
+    N = sup_mat.shape[0]
+
+    def cond(c):
+        t, keep, changed = c
+        return changed & (t < N)
+
+    def body(c):
+        t, keep, _ = c
+        killed = jnp.dot(keep.astype(jnp.bfloat16), sup_mat,
+                         preferred_element_type=jnp.float32) > 0.5
+        new = valid & ~killed
+        return t + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+    return keep
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _greedy_nms_2d_device(dist, points, valid, established, thresh, B, A_max,
+                          P, S):
+    """Greedy NMS entirely on device in ONE call, two phases:
+
+    1. build the full (N, N) 0/1 suppression matrix in row blocks of size B —
+       analytic bounds decide most pairs; the remaining ambiguous pairs are
+       compacted in two top_k levels (per-row to A_max columns, then
+       block-wide to P pair slots) so the exact sampled overlap runs on
+       ~actual-pair-count slots instead of B*N;
+    2. resolve the greedy recursion with the Jacobi fixpoint
+       (`_greedy_fixpoint`) — no per-candidate sequential scan.
+
+    ``established`` (dynamic scalar): the first `established` rows are final
+    survivors from earlier chunked rounds — they can suppress but can never
+    be suppressed, so their columns are skipped (incl. the exact-overlap
+    work). Returns (suppressed, max_amb, max_pairs); max_amb > A_max or
+    max_pairs > P signal compaction overflow (host retries larger).
     """
     N, R = dist.shape
     lo, hi = polygon_bboxes(dist, points)          # (N, 2)
@@ -204,17 +257,8 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
     n_blocks = N // B
     s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
 
-    def block_body(b, carry):
-        # skip blocks whose rows are all suppressed already (common in the
-        # low-score tail — the reference's `if suppressed[i]: continue`)
-        i0 = b * B
-        rows_sup = jax.lax.dynamic_slice_in_dim(carry[0], i0, B, 0)
-        rows_valid = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
-        any_alive = jnp.any(~rows_sup & rows_valid)
-        return jax.lax.cond(any_alive, lambda c: _block_work(b, c), lambda c: c, carry)
-
-    def _block_work(b, carry):
-        suppressed, max_amb = carry
+    def block_fill(b, carry):
+        sup_acc, max_amb, max_pairs = carry
         i0 = b * B
         d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
         p_r = jax.lax.dynamic_slice_in_dim(points, i0, B, 0)
@@ -223,6 +267,14 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
         a_r = jax.lax.dynamic_slice_in_dim(area, i0, B, 0)
         rin_r = jax.lax.dynamic_slice_in_dim(rin, i0, B, 0)
         rout_r = jax.lax.dynamic_slice_in_dim(rout, i0, B, 0)
+        valid_r = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
+
+        # pairs that can matter: strictly later column, not an established
+        # survivor, both ends valid
+        row_ids = i0 + jnp.arange(B)
+        pair_ok = ((col_ids[None, :] > row_ids[:, None])
+                   & (col_ids[None, :] >= established)
+                   & valid[None, :] & valid_r[:, None])
 
         # ---- bounds (B, N) ----
         ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi[None]) -
@@ -232,55 +284,63 @@ def _greedy_nms_2d_device(dist, points, valid, thresh, B, A_max, S):
         denom = jnp.minimum(a_r[:, None], area[None]) + 1e-10
         ub = jnp.minimum(_lens_area_ub(rout_r[:, None], rout[None], dc), bbox_inter) / denom
         lb = _lens_area_lb(rin_r[:, None], rin[None], dc) / denom
-        sup_mat = lb > thresh
-        keep = ub <= thresh
-        ambiguous = ~sup_mat & ~keep & valid[None, :]
+        sup_mat = (lb > thresh) & pair_ok
+        ambiguous = ~sup_mat & ~(ub <= thresh) & pair_ok
         max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
 
-        # ---- exact sampled overlap on compacted ambiguous pairs ----
-        amb_idx = jax.vmap(lambda m: jnp.nonzero(m, size=A_max, fill_value=N)[0])(ambiguous)
-        amb_ok = amb_idx < N
-        idx_c = jnp.minimum(amb_idx, N - 1)                     # (B, A)
-        d_c = dist[idx_c]                                        # (B, A, R)
-        p_c = points[idx_c]                                      # (B, A, 2)
-        lo_c = lo[idx_c]
-        hi_c = hi[idx_c]
-        a_c = area[idx_c]
+        # ---- level-1 compaction: per-row top_k (sort-based; ~15x faster
+        # than a vmapped nonzero on TPU). Ambiguous columns get key N-col.
+        keys = jnp.where(ambiguous, N - col_ids[None, :].astype(jnp.int32), 0)
+        vals, amb_idx = jax.lax.top_k(keys, A_max)               # (B, A)
+        amb_ok = vals > 0
+        idx_c = amb_idx                                          # positions = col ids
 
-        plo = jnp.maximum(lo_r[:, None], lo_c)                  # (B, A, 2)
-        phi = jnp.minimum(hi_r[:, None], hi_c)
+        # ---- level-2 compaction: flatten the (B, A) slots to P pair slots
+        # so the exact overlap runs on ~actual ambiguous pairs, not B*A
+        flat_ok = amb_ok.reshape(B * A_max)
+        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
+        flat_pos = jnp.arange(B * A_max, dtype=jnp.int32)
+        keys2 = jnp.where(flat_ok, B * A_max - flat_pos, 0)
+        vals2, sel = jax.lax.top_k(keys2, P)                     # (P,)
+        pair_valid = vals2 > 0
+        sel = jnp.where(pair_valid, sel, 0)
+        pr = sel // A_max                                        # row in block
+        pc = idx_c.reshape(B * A_max)[sel]                       # global col id
+
+        # ---- exact sampled overlap on the P compacted pairs ----
+        d_rp, p_rp = d_r[pr], p_r[pr]
+        lo_rp, hi_rp, a_rp = lo_r[pr], hi_r[pr], a_r[pr]
+        d_cp, p_cp = dist[pc], points[pc]
+        lo_cp, hi_cp, a_cp = lo[pc], hi[pc], area[pc]
+
+        plo = jnp.maximum(lo_rp, lo_cp)                          # (P, 2)
+        phi = jnp.minimum(hi_rp, hi_cp)
         extp = jnp.maximum(phi - plo, 0.0)
-        qr = plo[..., 0, None, None] + s_grid[:, None] * extp[..., 0, None, None]
-        qc = plo[..., 1, None, None] + s_grid[None, :] * extp[..., 1, None, None]
-        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(B, A_max, S * S, 2)
-        in_r = points_in_polygons(
-            jnp.broadcast_to(d_r[:, None], (B, A_max, R)),
-            jnp.broadcast_to(p_r[:, None], (B, A_max, 2)), q)
-        in_c = points_in_polygons(d_c, p_c, q)
+        qr = plo[:, 0, None, None] + s_grid[:, None] * extp[:, 0, None, None]
+        qc = plo[:, 1, None, None] + s_grid[None, :] * extp[:, 1, None, None]
+        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(P, S * S, 2)
+        in_r = points_in_polygons(d_rp, p_rp, q)
+        in_c = points_in_polygons(d_cp, p_cp, q)
         frac = jnp.mean(in_r & in_c, axis=-1)
-        inter = frac * extp[..., 0] * extp[..., 1]
-        exact_sup = inter / (jnp.minimum(a_r[:, None], a_c) + 1e-10) > thresh
+        inter = frac * extp[:, 0] * extp[:, 1]
+        exact_sup = inter / (jnp.minimum(a_rp, a_cp) + 1e-10) > thresh
 
-        sup_mat = sup_mat.at[jnp.arange(B)[:, None], idx_c].max(exact_sup & amb_ok)
-        sup_mat = sup_mat & (col_ids[None, :] > (i0 + jnp.arange(B))[:, None]) & valid[None, :]
+        sup_mat = sup_mat.at[pr, pc].max(exact_sup & pair_valid)
+        sup_mat = sup_mat & pair_ok
+        sup_acc = jax.lax.dynamic_update_slice_in_dim(
+            sup_acc, sup_mat.astype(jnp.bfloat16), i0, 0)
+        return sup_acc, max_amb, max_pairs
 
-        # ---- sequential greedy within the block ----
-        def inner(r, suppressed):
-            i = i0 + r
-            alive = jnp.logical_not(suppressed[i]) & valid[i]
-            return jnp.where(alive, suppressed | sup_mat[r], suppressed)
-
-        suppressed = jax.lax.fori_loop(0, B, inner, suppressed)
-        return suppressed, max_amb
-
-    suppressed0 = ~valid
-    suppressed, max_amb = jax.lax.fori_loop(0, n_blocks, block_body,
-                                            (suppressed0, jnp.int32(0)))
-    return suppressed, max_amb
+    sup0 = jnp.zeros((N, N), jnp.bfloat16)
+    sup_mat, max_amb, max_pairs = jax.lax.fori_loop(
+        0, n_blocks, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
+    keep = _greedy_fixpoint(sup_mat, valid)
+    return ~keep, max_amb, max_pairs
 
 
 def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
-                                amb_max, amb_cap, pair_budget, verbose):
+                                amb_max, amb_cap, pair_slots, verbose,
+                                established=0):
     """One fixed-size device-NMS invocation with ambiguous-cap retry; input
     already padded/truncated to a bucketed size by the caller."""
     N = len(dist)
@@ -289,15 +349,21 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
     p = jnp.asarray(_pad(points, Np, value=-1e9))
     valid = jnp.arange(Np) < N
     A = amb_max
+    P = pair_slots
     while True:
         A_p = min(_bucket(A, minimum=64), Np)
-        B = max(8, min(row_block, pair_budget // A_p, Np))
+        B = max(8, min(row_block, Np))
         while Np % B != 0:
             B //= 2
-        suppressed, max_amb = _greedy_nms_2d_device(d, p, valid, float(thresh),
-                                                    B, A_p, samples)
+        P_p = min(_bucket(P, minimum=1024), B * A_p)
+        suppressed, max_amb, max_pairs = _greedy_nms_2d_device(
+            d, p, valid, jnp.int32(established), float(thresh),
+            B, A_p, P_p, samples)
         max_amb = int(max_amb)
-        if max_amb <= A_p or A_p >= Np:
+        max_pairs = int(max_pairs)
+        amb_over = max_amb > A_p and A_p < Np
+        pairs_over = max_pairs > P_p and P_p < B * A_p
+        if not amb_over and not pairs_over:
             break
         if max_amb > amb_cap:
             if verbose:
@@ -305,12 +371,16 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
                       "falling back to host blocked path", flush=True)
             return _blocked_greedy(
                 lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
-                dist, points, thresh, row_block=row_block, verbose=verbose,
+                dist, points, thresh, row_block=128, verbose=verbose,
                 bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
             )
         if verbose:
-            print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
-        A = max_amb
+            print(f"NMS: compaction overflow (amb {max_amb}/{A_p}, "
+                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
+        if amb_over:
+            A = max_amb
+        if pairs_over:
+            P = max_pairs
     return ~np.asarray(suppressed)[:N]
 
 
@@ -386,7 +456,7 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
             chunk_idx = np.arange(pos, min(N, pos + room))
             pos = chunk_idx[-1] + 1
         cand_idx = np.concatenate([survivors_idx, chunk_idx]).astype(np.int64)
-        keep = single_fn(cand_idx, ks)
+        keep = single_fn(cand_idx, ks, len(survivors_idx))
         survivors_idx = cand_idx[keep[:len(cand_idx)]]
         if verbose:
             print(f"NMS: processed {pos}/{N}, survivors {len(survivors_idx)}", flush=True)
@@ -395,8 +465,8 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
     return out
 
 
-def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
-                         amb_max=512, amb_cap=4096, pair_budget=1 << 17,
+def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
+                         amb_max=64, amb_cap=4096, pair_slots=8192,
                          kernel_size=16384, verbose=False):
     """Device NMS driver: single fixed-size kernel call when N fits, exact
     survivor-chunked rounds otherwise (bounded compile sizes)."""
@@ -404,16 +474,17 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=128,
     if N <= kernel_size:
         return _nms_polygons_device_single(dist, points, thresh, samples,
                                            row_block, amb_max, amb_cap,
-                                           pair_budget, verbose)
+                                           pair_slots, verbose)
 
-    def single_fn(cand_idx, ks):
+    def single_fn(cand_idx, ks, established=0):
         # pad to the fixed kernel size so every round reuses one compilation;
         # pad rows are far-away dummy polygons that neither suppress nor
         # affect real candidates and are sliced off by the caller
         keep = _nms_polygons_device_single(
             _pad(dist[cand_idx], ks, value=1e-3),
             _pad(points[cand_idx], ks, value=-1e9),
-            thresh, samples, row_block, amb_max, amb_cap, pair_budget, verbose)
+            thresh, samples, row_block, amb_max, amb_cap, pair_slots, verbose,
+            established=established)
         return keep[:len(cand_idx)]
 
     def prefilter_fn(surv_idx, raw_idx):
@@ -543,11 +614,14 @@ def _dense_suppression_2d(dist, points, valid, S, thresh, row_block):
 # single-call device greedy NMS (3D)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max, S):
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
+                          thresh, B, A_max, P, S):
     """3D analog of _greedy_nms_2d_device: bounds from sphere lenses + bbox,
     exact overlap by integer-lattice counting (matching the voxel
-    rasterizer), all in one jit call."""
+    rasterizer), suppression matrix built in row blocks with two-level
+    top_k pair compaction, greedy resolved by the Jacobi fixpoint — all in
+    one jit call."""
     N, R = dist.shape
     lo, hi = polyhedron_bboxes(dist, points, ray_dirs)
     vol = polyhedron_volumes(dist, ray_dirs, faces)
@@ -558,15 +632,8 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
     n_blocks = N // B
     ar = jnp.arange(S, dtype=jnp.float32)
 
-    def block_body(b, carry):
-        i0 = b * B
-        rows_sup = jax.lax.dynamic_slice_in_dim(carry[0], i0, B, 0)
-        rows_valid = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
-        any_alive = jnp.any(~rows_sup & rows_valid)
-        return jax.lax.cond(any_alive, lambda c: _block_work(b, c), lambda c: c, carry)
-
-    def _block_work(b, carry):
-        suppressed, max_amb = carry
+    def block_fill(b, carry):
+        sup_acc, max_amb, max_pairs = carry
         i0 = b * B
         d_r = jax.lax.dynamic_slice_in_dim(dist, i0, B, 0)
         p_r = jax.lax.dynamic_slice_in_dim(points, i0, B, 0)
@@ -577,6 +644,12 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
         rout_r = jax.lax.dynamic_slice_in_dim(rout, i0, B, 0)
         inv_r = jax.lax.dynamic_slice_in_dim(inv_all, i0, B, 0)
         vf_r = jax.lax.dynamic_slice_in_dim(valid_faces, i0, B, 0)
+        valid_r = jax.lax.dynamic_slice_in_dim(valid, i0, B, 0)
+
+        row_ids = i0 + jnp.arange(B)
+        pair_ok = ((col_ids[None, :] > row_ids[:, None])
+                   & (col_ids[None, :] >= established)
+                   & valid[None, :] & valid_r[:, None])
 
         ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi[None]) -
                           jnp.maximum(lo_r[:, None], lo[None]), 0.0)
@@ -585,69 +658,79 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, thresh, B, A_max
         denom = jnp.minimum(v_r[:, None], vol[None]) + 1e-10
         ub = jnp.minimum(_lens_volume_3d(rout_r[:, None], rout[None], dcn), bbox_inter) / denom
         lb = _lens_volume_3d(rin_r[:, None], rin[None], dcn) / denom
-        sup_mat = lb > thresh
-        keep = ub <= thresh
-        ambiguous = ~sup_mat & ~keep & valid[None, :]
+        sup_mat = (lb > thresh) & pair_ok
+        ambiguous = ~sup_mat & ~(ub <= thresh) & pair_ok
         max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
 
-        amb_idx = jax.vmap(lambda m: jnp.nonzero(m, size=A_max, fill_value=N)[0])(ambiguous)
-        amb_ok = amb_idx < N
-        idx_c = jnp.minimum(amb_idx, N - 1)
-        p_c = points[idx_c]
-        lo_c = lo[idx_c]
-        hi_c = hi[idx_c]
-        v_c = vol[idx_c]
-        inv_c = inv_all[idx_c]
-        vf_c = valid_faces[idx_c]
+        # level-1: per-row top_k of ambiguous columns
+        keys = jnp.where(ambiguous, N - col_ids[None, :].astype(jnp.int32), 0)
+        vals, amb_idx = jax.lax.top_k(keys, A_max)
+        amb_ok = vals > 0
+        idx_c = amb_idx
 
-        plo = jnp.ceil(jnp.maximum(lo_r[:, None], lo_c))
-        phi = jnp.floor(jnp.minimum(hi_r[:, None], hi_c))
+        # level-2: flatten (B, A) slots to P pair slots
+        flat_ok = amb_ok.reshape(B * A_max)
+        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
+        flat_pos = jnp.arange(B * A_max, dtype=jnp.int32)
+        keys2 = jnp.where(flat_ok, B * A_max - flat_pos, 0)
+        vals2, sel = jax.lax.top_k(keys2, P)
+        pair_valid = vals2 > 0
+        sel = jnp.where(pair_valid, sel, 0)
+        pr = sel // A_max
+        pc = idx_c.reshape(B * A_max)[sel]
+
+        # exact lattice-counted overlap on the P compacted pairs
+        p_rp = p_r[pr]
+        lo_rp, hi_rp, v_rp = lo_r[pr], hi_r[pr], v_r[pr]
+        inv_rp, vf_rp = inv_r[pr], vf_r[pr]
+        p_cp = points[pc]
+        lo_cp, hi_cp, v_cp = lo[pc], hi[pc], vol[pc]
+        inv_cp, vf_cp = inv_all[pc], valid_faces[pc]
+
+        plo = jnp.ceil(jnp.maximum(lo_rp, lo_cp))                # (P, 3)
+        phi = jnp.floor(jnp.minimum(hi_rp, hi_cp))
         n_vox = jnp.maximum(phi - plo + 1, 0.0)
         stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)
-        pos = plo[..., :, None] + stride[..., :, None] * ar    # (B,A,3,S)
-        ok = pos <= phi[..., :, None]
-        qz = pos[..., 0, :][..., :, None, None]
-        qy = pos[..., 1, :][..., None, :, None]
-        qx = pos[..., 2, :][..., None, None, :]
-        q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(B, A_max, S ** 3, 3)
-        m = (ok[..., 0, :][..., :, None, None]
-             & ok[..., 1, :][..., None, :, None]
-             & ok[..., 2, :][..., None, None, :]).reshape(B, A_max, S ** 3)
-        in_r = points_in_polyhedra(inv_r[:, None], vf_r[:, None], p_r[:, None], q)
-        in_c = points_in_polyhedra(inv_c, vf_c, p_c, q)
-        weight = stride[..., 0] * stride[..., 1] * stride[..., 2]
+        pos = plo[:, :, None] + stride[:, :, None] * ar          # (P, 3, S)
+        ok = pos <= phi[:, :, None]
+        qz = pos[:, 0, :][:, :, None, None]
+        qy = pos[:, 1, :][:, None, :, None]
+        qx = pos[:, 2, :][:, None, None, :]
+        q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(P, S ** 3, 3)
+        m = (ok[:, 0, :][:, :, None, None]
+             & ok[:, 1, :][:, None, :, None]
+             & ok[:, 2, :][:, None, None, :]).reshape(P, S ** 3)
+        in_r = points_in_polyhedra(inv_rp, vf_rp, p_rp, q)
+        in_c = points_in_polyhedra(inv_cp, vf_cp, p_cp, q)
+        weight = stride[:, 0] * stride[:, 1] * stride[:, 2]
         count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
-        exact_sup = count * weight / (jnp.minimum(v_r[:, None], v_c) + 1e-10) > thresh
+        exact_sup = count * weight / (jnp.minimum(v_rp, v_cp) + 1e-10) > thresh
 
-        sup_mat = sup_mat.at[jnp.arange(B)[:, None], idx_c].max(exact_sup & amb_ok)
-        sup_mat = sup_mat & (col_ids[None, :] > (i0 + jnp.arange(B))[:, None]) & valid[None, :]
+        sup_mat = sup_mat.at[pr, pc].max(exact_sup & pair_valid)
+        sup_mat = sup_mat & pair_ok
+        sup_acc = jax.lax.dynamic_update_slice_in_dim(
+            sup_acc, sup_mat.astype(jnp.bfloat16), i0, 0)
+        return sup_acc, max_amb, max_pairs
 
-        def inner(r, suppressed):
-            i = i0 + r
-            alive = jnp.logical_not(suppressed[i]) & valid[i]
-            return jnp.where(alive, suppressed | sup_mat[r], suppressed)
-
-        suppressed = jax.lax.fori_loop(0, B, inner, suppressed)
-        return suppressed, max_amb
-
-    suppressed0 = ~valid
-    suppressed, max_amb = jax.lax.fori_loop(0, n_blocks, block_body,
-                                            (suppressed0, jnp.int32(0)))
-    return suppressed, max_amb
+    sup0 = jnp.zeros((N, N), jnp.bfloat16)
+    sup_mat, max_amb, max_pairs = jax.lax.fori_loop(
+        0, n_blocks, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
+    keep = _greedy_fixpoint(sup_mat, valid)
+    return ~keep, max_amb, max_pairs
 
 
-def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
-                          amb_max=128, amb_cap=2048, pair_budget=1 << 12,
-                          kernel_size=4096, verbose=False):
+def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
+                          amb_max=32, amb_cap=2048, pair_slots=2048,
+                          kernel_size=4096, verbose=False, established=0):
     N = len(dist)
     if N > kernel_size:
-        def single_fn(cand_idx, ks):
+        def single_fn(cand_idx, ks, established=0):
             keep = _nms_polyhedra_device(
                 _pad(dist[cand_idx], ks, value=1e-3),
                 _pad(points[cand_idx], ks, value=-1e9),
                 rays, thresh, samples=samples, row_block=row_block,
-                amb_max=amb_max, amb_cap=amb_cap, pair_budget=pair_budget,
-                kernel_size=ks, verbose=verbose)
+                amb_max=amb_max, amb_cap=amb_cap, pair_slots=pair_slots,
+                kernel_size=ks, verbose=verbose, established=established)
             return keep[:len(cand_idx)]
 
         return _chunked_device_nms(single_fn, N, kernel_size, verbose)
@@ -658,15 +741,21 @@ def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
     valid = jnp.arange(Np) < N
     A = amb_max
+    P = pair_slots
     while True:
         A_p = min(_bucket(A, minimum=32), Np)
-        B = max(4, min(row_block, pair_budget // A_p, Np))
+        B = max(4, min(row_block, Np))
         while Np % B != 0:
             B //= 2
-        suppressed, max_amb = _greedy_nms_3d_device(d, p, ray_dirs, faces, valid,
-                                                    float(thresh), B, A_p, samples)
+        P_p = min(_bucket(P, minimum=512), B * A_p)
+        suppressed, max_amb, max_pairs = _greedy_nms_3d_device(
+            d, p, ray_dirs, faces, valid, jnp.int32(established),
+            float(thresh), B, A_p, P_p, samples)
         max_amb = int(max_amb)
-        if max_amb <= A_p or A_p >= Np:
+        max_pairs = int(max_pairs)
+        amb_over = max_amb > A_p and A_p < Np
+        pairs_over = max_pairs > P_p and P_p < B * A_p
+        if not amb_over and not pairs_over:
             break
         if max_amb > amb_cap:
             if verbose:
@@ -681,8 +770,12 @@ def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=16,
                     dr, pr, dc, pc, ray_dirs, faces, thresh),
             )
         if verbose:
-            print(f"NMS: ambiguous columns {max_amb} exceeded cap {A_p}; retrying", flush=True)
-        A = max_amb
+            print(f"NMS: compaction overflow (amb {max_amb}/{A_p}, "
+                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
+        if amb_over:
+            A = max_amb
+        if pairs_over:
+            P = max_pairs
     return ~np.asarray(suppressed)[:N]
 
 

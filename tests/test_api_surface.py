@@ -24,25 +24,30 @@ def test_flat_namespace():
 
 
 def test_legacy_nms_matches_new():
-    from stardist_tpu import edt_prob, star_dist, non_maximum_suppression
+    # Mirrors reference tests/test_nms2D.py::test_old_new: seeded random-disc
+    # candidates (radius 10, 10% noise) with prob_thresh=0.9 / nms_thresh=0.3 —
+    # the regime in which the reference guarantees old/new agreement. (At
+    # marginal overlaps near the threshold the reference paths also diverge,
+    # because the legacy C++ quantizes polygon vertices to int32.)
+    from stardist_tpu import non_maximum_suppression, polygons_to_label
     from stardist_tpu.geometry.geom2d import _dist_to_coord_old, _polygons_to_label_old
     from stardist_tpu.nms import _non_maximum_suppression_old
-    from stardist_tpu.matching import matching
 
-    img = random_image((96, 96)).astype(np.int32)
-    prob = edt_prob(img)
-    dist = star_dist(img, n_rays=32)
+    rng = np.random.RandomState(42)
+    shape, n_rays, nms_thresh = (178, 149), 32, 0.3
+    dist = 10.0 * (1 + 0.1 * rng.uniform(-1, 1, shape + (n_rays,)))
+    prob = rng.uniform(0, 1, shape)
+
     coord = _dist_to_coord_old(dist)
-    points_old = _non_maximum_suppression_old(coord, prob, prob_thresh=0.4)
-    img_old = _polygons_to_label_old(coord, prob, points_old, shape=img.shape)
+    points_old = _non_maximum_suppression_old(coord, prob, prob_thresh=0.9,
+                                              nms_thresh=nms_thresh)
+    img_old = _polygons_to_label_old(coord, prob, points_old, shape=shape)
 
-    points_new, probi, disti = non_maximum_suppression(dist, prob, prob_thresh=0.4)
+    points_new, probi, disti = non_maximum_suppression(dist, prob, prob_thresh=0.9,
+                                                       nms_thresh=nms_thresh)
     assert len(points_old) == len(points_new)
     assert np.allclose(np.sort(points_old, axis=0), np.sort(points_new, axis=0))
-    # old and new rendering paths agree on the foreground (reference
-    # tests/test_nms2D.py test_old_new contract)
-    from stardist_tpu import polygons_to_label
-    img_new = polygons_to_label(disti, points_new, shape=img.shape)
+    img_new = polygons_to_label(disti, points_new, shape=shape)
     assert np.allclose(img_old > 0, img_new > 0)
 
 
@@ -149,6 +154,41 @@ def test_optimize_thresholds(tmp_path):
     # thresholds are picked up on reload
     model2 = StarDist2D(None, name="opt", basedir=str(tmp_path))
     assert abs(model2.thresholds.prob - res["prob"]) < 1e-9
+
+
+def test_export_TF(tmp_path):
+    # reference tests/test_model2D.py:559-566: SavedModel export for the
+    # Fiji plugin — zipped, single concatenated [prob, dist] output,
+    # grid-upsampled (sparse prob / nearest dist) to the input resolution
+    import tensorflow as tf
+    from stardist_tpu.models import Config2D, StarDist2D
+
+    cfg = Config2D(n_rays=8, grid=(2, 2), unet_n_depth=1, unet_n_filter_base=4,
+                   net_conv_after_unet=8, train_patch_size=(32, 32), train_batch_size=1)
+    model = StarDist2D(cfg, name="tfexport", basedir=str(tmp_path))
+    zip_path = model.export_TF()
+    assert zip_path == model.logdir / "TF_SavedModel.zip" and zip_path.exists()
+
+    import zipfile
+    ex = tmp_path / "unzipped"
+    with zipfile.ZipFile(zip_path) as z:
+        assert "saved_model.pb" in z.namelist()
+        z.extractall(ex)
+    mod = tf.saved_model.load(str(ex))
+    x = np.random.RandomState(0).uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+    out = mod(tf.constant(x))
+    assert out.shape == (1, 64, 64, 1 + cfg.n_rays)
+    prob, dist = model.predict(x[0, ..., 0])
+    # sparse prob upsampling: values at grid positions, zeros elsewhere
+    pu = out.numpy()[0, :, :, 0]
+    assert np.allclose(pu[::2, ::2], prob, atol=1e-4)
+    assert np.allclose(pu[1::2, :], 0)
+    # nearest-neighbor dist upsampling; the exported model carries the raw
+    # head output (reference exports the keras graph verbatim) while
+    # `predict` clamps tiny dists to 1e-3 — clamp before comparing
+    du = np.maximum(out.numpy()[0, :, :, 1:], 1e-3)
+    assert np.allclose(du[::2, ::2], dist, atol=1e-3)
+    assert np.allclose(du[1::2, 1::2], dist, atol=1e-3)
 
 
 def test_render_helpers():
