@@ -338,6 +338,221 @@ def _greedy_nms_2d_device(dist, points, valid, established, thresh, B, A_max,
     return ~keep, max_amb, max_pairs
 
 
+# ---------------------------------------------------------------------------
+# banded device greedy NMS (2D): single call for large N
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
+                          Q, NB, A_max, P, S):
+    """Banded variant of `_greedy_nms_2d_device` for candidates pre-sorted by
+    row coordinate: a pair can only suppress when the centers are closer than
+    r_out_i + r_out_j <= 2*max(dist), so in y-sorted order all undecided pairs
+    of a Q-row block live in a window of (2*NB+1)*Q consecutive columns.
+    The suppression structure is a band (N, W) instead of (N, N) — one kernel
+    call replaces the survivor-chunked rounds at large N. `rank` is the
+    original score order; greedy direction and the `established`-survivor
+    skip use ranks instead of positions (the layout is y-order, not score
+    order). Greedy semantics are identical to the reference C++ loop
+    (stardist/lib/stardist2d.cpp:524-588), resolved by a band Jacobi fixpoint
+    (batched matvecs over the band blocks).
+    """
+    N, R = dist.shape
+    n_blocks = N // Q
+    W = (2 * NB + 1) * Q
+    pad = NB * Q
+    lo, hi = polygon_bboxes(dist, points)
+    area = polygon_areas(dist)
+    rin = _inner_radius_2d(dist)
+    rout = jnp.max(dist, axis=-1)
+
+    def padw(x, value):
+        widths = [(pad, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    # column-side arrays padded by NB blocks on both ends so every row
+    # block's window is a plain dynamic slice (pad slots are invalid)
+    dist_p = padw(dist, 1e-3)
+    points_p = padw(points, -1e9)
+    lo_p = padw(lo, -1e9)
+    hi_p = padw(hi, -1e9)
+    area_p = padw(area, 1.0)
+    rin_p = padw(rin, 1e-3)
+    rout_p = padw(rout, 1e-3)
+    valid_p = padw(valid, False)
+    rank_p = padw(rank, jnp.int32(2 ** 30))
+
+    s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    col_pos = jnp.arange(W, dtype=jnp.int32)
+
+    def block_fill(b, carry):
+        sup_acc, max_amb, max_pairs = carry
+        i0 = b * Q
+        slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, Q, 0)
+        slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+        d_r, p_r = slr(dist), slr(points)
+        lo_r, hi_r, a_r = slr(lo), slr(hi), slr(area)
+        rin_r, rout_r = slr(rin), slr(rout)
+        valid_r, rank_r = slr(valid), slr(rank)
+        d_c, p_c = slc(dist_p), slc(points_p)
+        lo_c, hi_c, a_c = slc(lo_p), slc(hi_p), slc(area_p)
+        rin_c, rout_c = slc(rin_p), slc(rout_p)
+        valid_c, rank_c = slc(valid_p), slc(rank_p)
+
+        pair_ok = ((rank_c[None, :] > rank_r[:, None])
+                   & (rank_c[None, :] >= established)
+                   & valid_c[None, :] & valid_r[:, None])
+
+        # ---- bounds (Q, W) ----
+        ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi_c[None]) -
+                          jnp.maximum(lo_r[:, None], lo_c[None]), 0.0)
+        bbox_inter = ext[..., 0] * ext[..., 1]
+        dc = jnp.sqrt(jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1))
+        denom = jnp.minimum(a_r[:, None], a_c[None]) + 1e-10
+        ub = jnp.minimum(_lens_area_ub(rout_r[:, None], rout_c[None], dc), bbox_inter) / denom
+        lb = _lens_area_lb(rin_r[:, None], rin_c[None], dc) / denom
+        sup_blk = (lb > thresh) & pair_ok
+        ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
+        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
+
+        # ---- level-1 compaction: per-row top_k of ambiguous columns ----
+        keys = jnp.where(ambiguous, W - col_pos[None, :], 0)
+        vals, amb_idx = jax.lax.top_k(keys, A_max)               # (Q, A)
+        amb_ok = vals > 0
+
+        # ---- level-2 compaction: flatten (Q, A) slots to P pair slots ----
+        flat_ok = amb_ok.reshape(Q * A_max)
+        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
+        flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
+        keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
+        vals2, sel = jax.lax.top_k(keys2, P)
+        pair_valid = vals2 > 0
+        sel = jnp.where(pair_valid, sel, 0)
+        pr = sel // A_max                                        # row in block
+        pc = amb_idx.reshape(Q * A_max)[sel]                     # col in window
+
+        # ---- exact sampled overlap on the P compacted pairs ----
+        d_rp, p_rp = d_r[pr], p_r[pr]
+        lo_rp, hi_rp, a_rp = lo_r[pr], hi_r[pr], a_r[pr]
+        d_cp, p_cp = d_c[pc], p_c[pc]
+        lo_cp, hi_cp, a_cp = lo_c[pc], hi_c[pc], a_c[pc]
+
+        plo = jnp.maximum(lo_rp, lo_cp)                          # (P, 2)
+        phi = jnp.minimum(hi_rp, hi_cp)
+        extp = jnp.maximum(phi - plo, 0.0)
+        qr = plo[:, 0, None, None] + s_grid[:, None] * extp[:, 0, None, None]
+        qc = plo[:, 1, None, None] + s_grid[None, :] * extp[:, 1, None, None]
+        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(P, S * S, 2)
+        in_r = points_in_polygons(d_rp, p_rp, q)
+        in_c = points_in_polygons(d_cp, p_cp, q)
+        frac = jnp.mean(in_r & in_c, axis=-1)
+        inter = frac * extp[:, 0] * extp[:, 1]
+        exact_sup = inter / (jnp.minimum(a_rp, a_cp) + 1e-10) > thresh
+
+        sup_blk = sup_blk.at[pr, pc].max(exact_sup & pair_valid)
+        sup_blk = sup_blk & pair_ok
+        sup_acc = jax.lax.dynamic_update_slice(
+            sup_acc, sup_blk.astype(jnp.bfloat16)[None], (b, 0, 0))
+        return sup_acc, max_amb, max_pairs
+
+    sup0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
+    sup, max_amb, max_pairs = jax.lax.fori_loop(
+        0, n_blocks, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
+
+    # ---- band Jacobi fixpoint (see _greedy_fixpoint for the argument) ----
+    def cond(c):
+        t, keep, changed = c
+        return changed & (t < N)
+
+    def body(c):
+        t, keep, _ = c
+        contrib = jnp.einsum(
+            "bq,bqw->bw", keep.reshape(n_blocks, Q).astype(jnp.bfloat16), sup,
+            preferred_element_type=jnp.float32)                  # (n_blocks, W)
+        contrib3 = contrib.reshape(n_blocks, 2 * NB + 1, Q)
+        killed_pad = jnp.zeros(N + 2 * pad, jnp.float32)
+        for o in range(2 * NB + 1):                              # static, small
+            piece = contrib3[:, o, :].reshape(N)
+            killed_pad = killed_pad + jnp.pad(piece, (o * Q, (2 * NB - o) * Q))
+        killed = killed_pad[pad:pad + N] > 0.5
+        new = valid & ~killed
+        return t + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+    return ~keep, max_amb, max_pairs
+
+
+def _band_width_blocks(y_sorted, Q, T):
+    """Smallest NB such that, for every Q-block of y-sorted candidates, all
+    candidates within |dy| < T of the block live within +-NB blocks."""
+    n = len(y_sorted)
+    n_blocks = n // Q
+    nb = 1
+    for b in range(n_blocks):
+        i0, i1 = b * Q, min((b + 1) * Q, n) - 1
+        lo_idx = int(np.searchsorted(y_sorted, y_sorted[i0] - T, side="left"))
+        hi_idx = int(np.searchsorted(y_sorted, y_sorted[i1] + T, side="right")) - 1
+        nb = max(nb, b - lo_idx // Q, hi_idx // Q - b)
+    return nb
+
+
+def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
+                                amb_max=128, amb_cap=4096, pair_slots=8192,
+                                verbose=False, established=0, rank=None,
+                                band_bytes_cap=6 << 30):
+    """Banded-kernel driver: sort by row coordinate, compute the band width,
+    run `_greedy_nms_2d_banded` once (with ambiguous-cap retry). Returns the
+    keep mask in the caller's (score) order, or None if the band is too wide
+    or too large to be worthwhile (caller falls back)."""
+    N = len(dist)
+    Npad = _bucket(N, minimum=2 * Q)
+    if rank is None:
+        rank = np.arange(N, dtype=np.int32)
+    order = np.argsort(points[:, 0], kind="stable")
+    d = _pad(dist[order], Npad, value=1e-3)
+    p = _pad(points[order], Npad, value=1e9)      # +inf-ish keeps y sorted
+    rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
+    T = 2.0 * float(dist.max()) + 1.0
+    NB = _band_width_blocks(p[:, 0], Q, T)
+    n_blocks = Npad // Q
+    W = (2 * NB + 1) * Q
+    if W >= Npad or Npad * W * 2 > band_bytes_cap:
+        return None
+    valid = jnp.arange(Npad) < N
+    dj, pj, rj = jnp.asarray(d), jnp.asarray(p), jnp.asarray(rk)
+    A = amb_max
+    P = pair_slots
+    while True:
+        A_p = min(_bucket(A, minimum=64), W)
+        P_p = min(_bucket(P, minimum=1024), Q * A_p)
+        suppressed, max_amb, max_pairs = _greedy_nms_2d_banded(
+            dj, pj, rj, valid, jnp.int32(established), float(thresh),
+            Q, NB, A_p, P_p, samples)
+        max_amb = int(max_amb)
+        max_pairs = int(max_pairs)
+        amb_over = max_amb > A_p and A_p < W
+        pairs_over = max_pairs > P_p and P_p < Q * A_p
+        if not amb_over and not pairs_over:
+            break
+        if max_amb > amb_cap:
+            if verbose:
+                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap} "
+                      "(banded); falling back", flush=True)
+            return None
+        if verbose:
+            print(f"NMS: banded compaction overflow (amb {max_amb}/{A_p}, "
+                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
+        if amb_over:
+            A = max_amb
+        if pairs_over:
+            P = max_pairs
+    keep_sorted = ~np.asarray(suppressed)[:N]
+    keep = np.empty(N, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
 def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
                                 amb_max, amb_cap, pair_slots, verbose,
                                 established=0):
@@ -468,9 +683,16 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
 def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
                          amb_max=64, amb_cap=4096, pair_slots=8192,
                          kernel_size=16384, verbose=False):
-    """Device NMS driver: single fixed-size kernel call when N fits, exact
-    survivor-chunked rounds otherwise (bounded compile sizes)."""
+    """Device NMS driver: banded single-call kernel for large N (candidates
+    interact only within 2*max_dist, so the y-sorted suppression matrix is a
+    narrow band); small-N fixed-size kernel otherwise; exact survivor-chunked
+    rounds as the fallback when the band is too wide (bounded compile sizes)."""
     N = len(dist)
+    if N > 2048:
+        keep = _nms_polygons_device_banded(dist, points, thresh, samples,
+                                           amb_cap=amb_cap, verbose=verbose)
+        if keep is not None:
+            return keep
     if N <= kernel_size:
         return _nms_polygons_device_single(dist, points, thresh, samples,
                                            row_block, amb_max, amb_cap,
@@ -719,10 +941,221 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
     return ~keep, max_amb, max_pairs
 
 
+# ---------------------------------------------------------------------------
+# banded device greedy NMS (3D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
+                          established, thresh, Q, NB, A_max, P, S):
+    """3D analog of `_greedy_nms_2d_banded`: candidates pre-sorted along one
+    spatial axis; all undecided pairs of a Q-row block live in a window of
+    (2*NB+1)*Q consecutive columns. Bounds + lattice-counted exact overlap
+    as in `_greedy_nms_3d_device`; greedy resolved by the band Jacobi
+    fixpoint."""
+    N, R = dist.shape
+    n_blocks = N // Q
+    W = (2 * NB + 1) * Q
+    pad = NB * Q
+    lo, hi = polyhedron_bboxes(dist, points, ray_dirs)
+    vol = polyhedron_volumes(dist, ray_dirs, faces)
+    rin = polyhedron_inner_radius(dist, ray_dirs, faces)
+    rout = jnp.max(dist, axis=-1)
+    inv_all, valid_faces = polyhedron_face_inverses(dist, ray_dirs, faces)
+
+    def padw(x, value):
+        widths = [(pad, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    dist_p = padw(dist, 1e-3)
+    points_p = padw(points, -1e9)
+    lo_p = padw(lo, -1e9)
+    hi_p = padw(hi, -1e9)
+    vol_p = padw(vol, 1.0)
+    rin_p = padw(rin, 1e-3)
+    rout_p = padw(rout, 1e-3)
+    inv_p = padw(inv_all, 0.0)
+    vf_p = padw(valid_faces, False)
+    valid_p = padw(valid, False)
+    rank_p = padw(rank, jnp.int32(2 ** 30))
+
+    ar = jnp.arange(S, dtype=jnp.float32)
+    col_pos = jnp.arange(W, dtype=jnp.int32)
+
+    def block_fill(b, carry):
+        sup_acc, max_amb, max_pairs = carry
+        i0 = b * Q
+        slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, Q, 0)
+        slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+        d_r, p_r = slr(dist), slr(points)
+        lo_r, hi_r, v_r = slr(lo), slr(hi), slr(vol)
+        rin_r, rout_r = slr(rin), slr(rout)
+        inv_r, vf_r = slr(inv_all), slr(valid_faces)
+        valid_r, rank_r = slr(valid), slr(rank)
+        d_c, p_c = slc(dist_p), slc(points_p)
+        lo_c, hi_c, v_c = slc(lo_p), slc(hi_p), slc(vol_p)
+        rin_c, rout_c = slc(rin_p), slc(rout_p)
+        inv_c, vf_c = slc(inv_p), slc(vf_p)
+        valid_c, rank_c = slc(valid_p), slc(rank_p)
+
+        pair_ok = ((rank_c[None, :] > rank_r[:, None])
+                   & (rank_c[None, :] >= established)
+                   & valid_c[None, :] & valid_r[:, None])
+
+        ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi_c[None]) -
+                          jnp.maximum(lo_r[:, None], lo_c[None]), 0.0)
+        bbox_inter = ext[..., 0] * ext[..., 1] * ext[..., 2]
+        dcn = jnp.sqrt(jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1))
+        denom = jnp.minimum(v_r[:, None], v_c[None]) + 1e-10
+        ub = jnp.minimum(_lens_volume_3d(rout_r[:, None], rout_c[None], dcn), bbox_inter) / denom
+        lb = _lens_volume_3d(rin_r[:, None], rin_c[None], dcn) / denom
+        sup_blk = (lb > thresh) & pair_ok
+        ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
+        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
+
+        keys = jnp.where(ambiguous, W - col_pos[None, :], 0)
+        vals, amb_idx = jax.lax.top_k(keys, A_max)
+        amb_ok = vals > 0
+
+        flat_ok = amb_ok.reshape(Q * A_max)
+        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
+        flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
+        keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
+        vals2, sel = jax.lax.top_k(keys2, P)
+        pair_valid = vals2 > 0
+        sel = jnp.where(pair_valid, sel, 0)
+        pr = sel // A_max
+        pc = amb_idx.reshape(Q * A_max)[sel]
+
+        # exact lattice-counted overlap on the P compacted pairs
+        p_rp = p_r[pr]
+        lo_rp, hi_rp, v_rp = lo_r[pr], hi_r[pr], v_r[pr]
+        inv_rp, vf_rp = inv_r[pr], vf_r[pr]
+        p_cp = p_c[pc]
+        lo_cp, hi_cp, v_cp = lo_c[pc], hi_c[pc], v_c[pc]
+        inv_cp, vf_cp = inv_c[pc], vf_c[pc]
+
+        plo = jnp.ceil(jnp.maximum(lo_rp, lo_cp))                # (P, 3)
+        phi = jnp.floor(jnp.minimum(hi_rp, hi_cp))
+        n_vox = jnp.maximum(phi - plo + 1, 0.0)
+        stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)
+        pos = plo[:, :, None] + stride[:, :, None] * ar          # (P, 3, S)
+        ok = pos <= phi[:, :, None]
+        qz = pos[:, 0, :][:, :, None, None]
+        qy = pos[:, 1, :][:, None, :, None]
+        qx = pos[:, 2, :][:, None, None, :]
+        q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(P, S ** 3, 3)
+        m = (ok[:, 0, :][:, :, None, None]
+             & ok[:, 1, :][:, None, :, None]
+             & ok[:, 2, :][:, None, None, :]).reshape(P, S ** 3)
+        in_r = points_in_polyhedra(inv_rp, vf_rp, p_rp, q)
+        in_c = points_in_polyhedra(inv_cp, vf_cp, p_cp, q)
+        weight = stride[:, 0] * stride[:, 1] * stride[:, 2]
+        count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
+        exact_sup = count * weight / (jnp.minimum(v_rp, v_cp) + 1e-10) > thresh
+
+        sup_blk = sup_blk.at[pr, pc].max(exact_sup & pair_valid)
+        sup_blk = sup_blk & pair_ok
+        sup_acc = jax.lax.dynamic_update_slice(
+            sup_acc, sup_blk.astype(jnp.bfloat16)[None], (b, 0, 0))
+        return sup_acc, max_amb, max_pairs
+
+    sup0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
+    sup, max_amb, max_pairs = jax.lax.fori_loop(
+        0, n_blocks, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
+
+    def cond(c):
+        t, keep, changed = c
+        return changed & (t < N)
+
+    def body(c):
+        t, keep, _ = c
+        contrib = jnp.einsum(
+            "bq,bqw->bw", keep.reshape(n_blocks, Q).astype(jnp.bfloat16), sup,
+            preferred_element_type=jnp.float32)
+        contrib3 = contrib.reshape(n_blocks, 2 * NB + 1, Q)
+        killed_pad = jnp.zeros(N + 2 * pad, jnp.float32)
+        for o in range(2 * NB + 1):
+            piece = contrib3[:, o, :].reshape(N)
+            killed_pad = killed_pad + jnp.pad(piece, (o * Q, (2 * NB - o) * Q))
+        killed = killed_pad[pad:pad + N] > 0.5
+        new = valid & ~killed
+        return t + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+    return ~keep, max_amb, max_pairs
+
+
+def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
+                                 Q=256, amb_max=32, amb_cap=2048,
+                                 pair_slots=2048, verbose=False,
+                                 established=0, rank=None,
+                                 band_bytes_cap=6 << 30):
+    """Banded-kernel 3D driver: sort along the spatial axis with the largest
+    extent, compute the band width, run `_greedy_nms_3d_banded` once.
+    Returns keep mask in the caller's (score) order, or None if the band is
+    too wide (caller falls back)."""
+    N = len(dist)
+    Npad = _bucket(N, minimum=2 * Q)
+    if rank is None:
+        rank = np.arange(N, dtype=np.int32)
+    axis = int(np.argmax(points.max(0) - points.min(0)))
+    order = np.argsort(points[:, axis], kind="stable")
+    d = _pad(dist[order], Npad, value=1e-3)
+    p = _pad(points[order], Npad, value=1e9)
+    rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
+    T = 2.0 * float(dist.max()) + 1.0
+    NB = _band_width_blocks(p[:, axis], Q, T)
+    W = (2 * NB + 1) * Q
+    if W >= Npad or Npad * W * 2 > band_bytes_cap:
+        return None
+    valid = jnp.arange(Npad) < N
+    ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+    faces = jnp.asarray(np.asarray(rays.faces, np.int32))
+    dj, pj, rj = jnp.asarray(d), jnp.asarray(p), jnp.asarray(rk)
+    A = amb_max
+    P = pair_slots
+    while True:
+        A_p = min(_bucket(A, minimum=32), W)
+        P_p = min(_bucket(P, minimum=512), Q * A_p)
+        suppressed, max_amb, max_pairs = _greedy_nms_3d_banded(
+            dj, pj, ray_dirs, faces, rj, valid, jnp.int32(established),
+            float(thresh), Q, NB, A_p, P_p, samples)
+        max_amb = int(max_amb)
+        max_pairs = int(max_pairs)
+        amb_over = max_amb > A_p and A_p < W
+        pairs_over = max_pairs > P_p and P_p < Q * A_p
+        if not amb_over and not pairs_over:
+            break
+        if max_amb > amb_cap:
+            if verbose:
+                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap} "
+                      "(banded 3D); falling back", flush=True)
+            return None
+        if verbose:
+            print(f"NMS: banded 3D compaction overflow (amb {max_amb}/{A_p}, "
+                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
+        if amb_over:
+            A = max_amb
+        if pairs_over:
+            P = max_pairs
+    keep_sorted = ~np.asarray(suppressed)[:N]
+    keep = np.empty(N, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
 def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
                           amb_max=32, amb_cap=2048, pair_slots=2048,
                           kernel_size=4096, verbose=False, established=0):
     N = len(dist)
+    if N > 1024 and established == 0:
+        keep = _nms_polyhedra_device_banded(dist, points, rays, thresh,
+                                            samples=samples, amb_cap=amb_cap,
+                                            verbose=verbose)
+        if keep is not None:
+            return keep
     if N > kernel_size:
         def single_fn(cand_idx, ks, established=0):
             keep = _nms_polyhedra_device(

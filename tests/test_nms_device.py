@@ -71,6 +71,91 @@ def test_contained_polygon_suppressed():
         assert keep.tolist() == [True, False]
 
 
+def _clustered_candidates(n, seed=0, field=1200.0, per_obj=10, n_rays=16):
+    """Nuclei-like candidate fields: clusters of near-concentric polygons."""
+    rng = np.random.RandomState(seed)
+    n_obj = max(1, n // per_obj)
+    centers = rng.uniform(30, field - 30, (n_obj, 2))
+    obj = rng.randint(0, n_obj, n)
+    points = (centers[obj] + rng.normal(0, 2.0, (n, 2))).astype(np.float32)
+    radii = rng.uniform(6, 13, n_obj)[obj]
+    dist = (radii[:, None] * rng.uniform(0.85, 1.15, (n, n_rays))).astype(np.float32)
+    scores = np.sort(rng.uniform(0, 1, n))[::-1].copy()
+    return dist, points, scores
+
+
+@pytest.mark.parametrize("n,thresh,q", [(500, 0.3, 32), (1500, 0.4, 64),
+                                        (3000, 0.5, 128)])
+def test_banded_nms_equals_blocked(n, thresh, q):
+    from stardist_tpu.ops.nms import _nms_polygons_device_banded
+
+    dist, points, scores = _clustered_candidates(n, seed=n)
+    a = nms_polygons(dist, points, scores=scores, thresh=thresh,
+                     device_nms=False)
+    b = _nms_polygons_device_banded(dist, points, thresh, samples=16, Q=q)
+    assert b is not None
+    assert np.array_equal(a, b), (a.sum(), b.sum(), np.flatnonzero(a != b)[:10])
+
+
+def test_banded_nms_uniform_field_equals_blocked():
+    from stardist_tpu.ops.nms import _nms_polygons_device_banded
+
+    dist, points, scores = _candidates(2500, seed=7, spread=900)
+    a = nms_polygons(dist, points, scores=scores, thresh=0.4, device_nms=False)
+    b = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=128)
+    assert b is not None
+    assert np.array_equal(a, b)
+
+
+def test_banded_nms_vertical_concentration_falls_back():
+    # all candidates in one horizontal strip: the band covers everything and
+    # the banded driver must decline (returns None) instead of mis-sizing
+    from stardist_tpu.ops.nms import _nms_polygons_device_banded
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    dist = rng.uniform(5, 10, (n, 16)).astype(np.float32)
+    points = np.stack([rng.uniform(100, 104, n),
+                       rng.uniform(0, 5000, n)], axis=1).astype(np.float32)
+    out = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=128)
+    assert out is None
+    # and the public driver still returns correct results via fallback
+    scores = np.sort(rng.uniform(0, 1, n))[::-1].copy()
+    a = nms_polygons(dist, points, scores=scores, thresh=0.4, device_nms=False)
+    b = _nms_polygons_device(dist, points, 0.4)
+    assert np.array_equal(a, b)
+
+
+def test_banded_nms_established_survivors():
+    # chunked-round contract: the first `established` ranks are final
+    # survivors — they suppress but are never suppressed
+    from stardist_tpu.ops.nms import _nms_polygons_device_banded
+
+    dist, points, scores = _clustered_candidates(800, seed=11, field=400)
+    full = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=64)
+    n_est = 100
+    est = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=64,
+                                      established=n_est)
+    assert est is not None and full is not None
+    # established rows all kept
+    assert est[:n_est].all()
+    # chunk identity: running with the prefix-greedy survivors as established
+    # plus the tail must reproduce the full greedy result
+    keep_prefix = nms_polygons(dist[:n_est], points[:n_est],
+                               scores=scores[:n_est], thresh=0.4,
+                               device_nms=False)
+    surv_idx = np.flatnonzero(keep_prefix)
+    cand_idx = np.concatenate([surv_idx, np.arange(n_est, len(dist))])
+    est2 = _nms_polygons_device_banded(
+        dist[cand_idx], points[cand_idx], 0.4, samples=16, Q=64,
+        established=len(surv_idx))
+    ref = nms_polygons(dist, points, scores=scores, thresh=0.4,
+                       device_nms=False)
+    out = np.zeros(len(dist), bool)
+    out[cand_idx[est2]] = True
+    assert np.array_equal(out, ref)
+
+
 @pytest.mark.parametrize("n,thresh", [(40, 0.3), (150, 0.5)])
 def test_device_nms_3d_equals_host(n, thresh):
     from stardist_tpu.ops.nms import nms_polyhedra, _nms_polyhedra_device
@@ -85,3 +170,28 @@ def test_device_nms_3d_equals_host(n, thresh):
                       device_nms=False, samples=12)
     b = _nms_polyhedra_device(dist, points, rays, thresh, samples=12)
     assert np.array_equal(a, b), np.flatnonzero(a != b)[:10]
+
+
+@pytest.mark.parametrize("n,thresh,q", [(400, 0.3, 32), (1200, 0.4, 64)])
+def test_banded_nms_3d_equals_host(n, thresh, q):
+    from stardist_tpu.ops.nms import nms_polyhedra, _nms_polyhedra_device_banded
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+
+    rays = Rays_GoldenSpiral(16)
+    rng = np.random.RandomState(n)
+    # clustered, elongated volume so the band is narrow along x
+    n_obj = max(1, n // 8)
+    centers = np.stack([rng.uniform(10, 50, n_obj),
+                        rng.uniform(10, 100, n_obj),
+                        rng.uniform(10, 800, n_obj)], axis=1)
+    obj = rng.randint(0, n_obj, n)
+    points = (centers[obj] + rng.normal(0, 1.0, (n, 3))).astype(np.float32)
+    radii = rng.uniform(4, 7, n_obj)[obj]
+    dist = (radii[:, None] * rng.uniform(0.85, 1.15, (n, 16))).astype(np.float32)
+    scores = np.sort(rng.uniform(0, 1, n))[::-1].copy()
+    a = nms_polyhedra(dist, points, rays, scores=scores, thresh=thresh,
+                      device_nms=False, samples=10)
+    b = _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
+                                     Q=q)
+    assert b is not None
+    assert np.array_equal(a, b), (a.sum(), b.sum(), np.flatnonzero(a != b)[:10])
