@@ -56,9 +56,34 @@ def dist_to_coord(dist, points, scale_dist=(1, 1)):
     return coord
 
 
+def _use_native_raster2d(shape, scale_dist):
+    """Host-native rasterization wins when the device is behind a slow
+    device->host link (the full label image must come back either way):
+    render the few surviving polygons on the host instead of downloading
+    H*W. Overridable via STARDIST_TPU_RASTER2D=native|device|auto."""
+    import os
+    mode = os.environ.get("STARDIST_TPU_RASTER2D", "auto")
+    if mode == "device":
+        return False
+    if tuple(scale_dist) != (1, 1):
+        return False  # native path has no scale_dist support
+    if mode != "native":
+        import jax
+        if jax.default_backend() != "tpu":
+            return False
+    try:
+        from ..lib import get_lib
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
 def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):
     """Shared renderer: ascending-prob order, later overwrites; the pixel
-    value of the winning polygon i is labels[i]+1."""
+    value of the winning polygon i is labels[i]+1. The winner->label LUT is
+    applied inside the rasterizer (device or native) so only the final
+    label image is produced."""
     n = len(dist)
     if n == 0:
         return np.zeros(shape, np.int32)
@@ -68,13 +93,16 @@ def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):
     # that the reference's sequential overwrite would have rendered last
     order_values = np.empty(n, np.int32)
     order_values[ind] = np.arange(1, n + 1)
+    if _use_native_raster2d(shape, scale_dist):
+        from ..lib import polygons_to_label_native
+        return polygons_to_label_native(np.asarray(dist), np.asarray(points),
+                                        tuple(shape), order_values,
+                                        labels=np.asarray(labels))
     img, _ = rasterize_polygons(
-        np.asarray(dist), np.asarray(points), tuple(shape), order_values,
-        scale_dist=scale_dist,
+        dist, np.asarray(points), tuple(shape), order_values,
+        scale_dist=scale_dist, labels=np.asarray(labels),
     )
-    lut = np.zeros(n + 1, np.int32)
-    lut[order_values] = np.asarray(labels) + 1
-    return lut[img]
+    return img
 
 
 def polygons_to_label_coord(coord, shape, labels=None):

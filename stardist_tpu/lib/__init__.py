@@ -52,7 +52,7 @@ def get_lib():
         lib.sd3d_star_dist.argtypes = [c_i32p, i, i, i, c_f32p, i, i, i, i, c_f32p]
         lib.sd2d_nms.argtypes = [c_f32p, c_f32p, i, i, f, i, c_u8p]
         lib.sd3d_nms.argtypes = [c_f32p, c_f32p, c_f32p, c_i32p, i, i, i, f, c_u8p]
-        lib.sd2d_polygons_to_label.argtypes = [c_f32p, c_f32p, c_i32p, i, i, i, i, c_i32p]
+        lib.sd2d_polygons_to_label.argtypes = [c_f32p, c_f32p, c_i32p, i, i, i, i, c_i32p, c_i32p]
         lib.sd3d_polyhedra_to_label.argtypes = [
             c_f32p, c_f32p, c_f32p, c_i32p, c_i32p, i, i, i, i, i, i, c_i32p, c_i32p]
         lib.sd3d_dist_to_volume.argtypes = [c_f32p, c_f32p, c_i32p, ctypes.c_int64, i, i, c_f32p]
@@ -124,16 +124,26 @@ def nms3d_native(dist, points, rays, thresh=0.5):
     return survivors.astype(bool)
 
 
-def polygons_to_label_native(dist, points, shape, order_values):
+def polygons_to_label_native(dist, points, shape, order_values, labels=None):
+    """Host rasterization of star polygons (winner = max order value).
+    With ``labels`` given, the winner order value is mapped to labels[i]+1
+    in a final native pass (same contract as ops.rasterize_polygons)."""
     lib = get_lib()
     dist = _f32(dist)
     points = _f32(points)
     order_values = _i32(order_values)
     N, R = dist.shape
     out = np.zeros(shape, np.int32)
+    if labels is not None:
+        lut = np.zeros(int(order_values.max(initial=0)) + 1, np.int32)
+        lut[order_values] = np.asarray(labels, np.int32) + 1
+        lut_p = _p(lut, ctypes.c_int32)
+    else:
+        lut = None
+        lut_p = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
     lib.sd2d_polygons_to_label(_p(dist, ctypes.c_float), _p(points, ctypes.c_float),
                                _p(order_values, ctypes.c_int32), N, R,
-                               shape[0], shape[1], _p(out, ctypes.c_int32))
+                               shape[0], shape[1], _p(out, ctypes.c_int32), lut_p)
     return out
 
 

@@ -192,20 +192,74 @@ void sd2d_nms(const float* dist /* (N,R) */, const float* points /* (N,2) */,
 // ---------------------------------------------------------------------------
 void sd2d_polygons_to_label(const float* dist, const float* points,
                             const int32_t* order_values, int N, int R,
-                            int H, int W, int32_t* out /* (H,W) zeroed */) {
-  for (int i = 0; i < N; i++) {
-    const float cr = points[2 * i], cc = points[2 * i + 1];
-    float rmax = 0.f;
-    for (int k = 0; k < R; k++) rmax = std::max(rmax, dist[(int64_t)i * R + k]);
-    const int r0 = std::max(0, (int)std::floor(cr - rmax) - 1);
-    const int r1 = std::min(H - 1, (int)std::ceil(cr + rmax) + 1);
-    const int c0 = std::max(0, (int)std::floor(cc - rmax) - 1);
-    const int c1 = std::min(W - 1, (int)std::ceil(cc + rmax) + 1);
+                            int H, int W, int32_t* out /* (H,W) zeroed */,
+                            const int32_t* lut /* len >= max(order)+1, or NULL */) {
+  // angle tables (double -> float, matching the numpy tables of the JAX
+  // rasterizer so both paths make bit-identical wedge decisions)
+  const double dphi_d = 2.0 * M_PI / R;
+  const float dphi = (float)dphi_d;
+  std::vector<float> s0(R), c0(R), s1(R), c1(R);
+  for (int k = 0; k < R; k++) {
+    s0[k] = (float)std::sin(dphi_d * k);
+    c0[k] = (float)std::cos(dphi_d * k);
+    s1[k] = (float)std::sin(dphi_d * (k + 1));
+    c1[k] = (float)std::cos(dphi_d * (k + 1));
+  }
+  std::vector<float> v0r(R), v0c(R), v1r(R), v1c(R);
+  // strip-parallel: each thread owns a contiguous row band and scans all
+  // polygons whose bbox intersects it — no write conflicts on `out`
+#ifdef _OPENMP
+  const int n_threads = omp_get_max_threads();
+#else
+  const int n_threads = 1;
+#endif
+  const int strip = std::max(1, (H + n_threads - 1) / n_threads);
+#pragma omp parallel for schedule(static, 1) firstprivate(v0r, v0c, v1r, v1c)
+  for (int t = 0; t < (H + strip - 1) / strip; t++) {
+    const int band0 = t * strip, band1 = std::min(H, band0 + strip);
+    for (int i = 0; i < N; i++) {
+      const float cr = points[2 * i], cc = points[2 * i + 1];
+      const float* d = dist + (int64_t)i * R;
+      float rmax = 0.f;
+      for (int k = 0; k < R; k++) rmax = std::max(rmax, d[k]);
+      const int r0 = std::max(band0, (int)std::floor(cr - rmax) - 1);
+      const int r1 = std::min(band1 - 1, (int)std::ceil(cr + rmax) + 1);
+      if (r0 > r1) continue;
+      const int c0i = std::max(0, (int)std::floor(cc - rmax) - 1);
+      const int c1i = std::min(W - 1, (int)std::ceil(cc + rmax) + 1);
+      if (c0i > c1i) continue;
+      for (int k = 0; k < R; k++) {
+        const int k1 = (k + 1) % R;
+        v0r[k] = d[k] * s0[k];
+        v0c[k] = d[k] * c0[k];
+        v1r[k] = d[k1] * s1[k];
+        v1c[k] = d[k1] * c1[k];
+      }
+      const int32_t val = order_values[i];
+      const float rmax2 = rmax * rmax;
+      for (int r = r0; r <= r1; r++) {
+        const float ur = (float)r - cr;
+        int32_t* row = out + (int64_t)r * W;
+        for (int c = c0i; c <= c1i; c++) {
+          const float uc = (float)c - cc;
+          if (ur * ur + uc * uc > rmax2) continue;  // cheap reject
+          if (row[c] >= val) continue;              // cannot win
+          float theta = std::atan2(ur, uc);
+          if (theta < 0) theta += (float)(2.0 * M_PI);
+          int k = (int)(theta / dphi);
+          if (k >= R) k = R - 1;
+          const float er = v1r[k] - v0r[k], ec = v1c[k] - v0c[k];
+          const float cross_p = er * (uc - v0c[k]) - ec * (ur - v0r[k]);
+          const float cross_c = ec * v0r[k] - er * v0c[k];
+          if (cross_p * cross_c >= 0.f) row[c] = val;
+        }
+      }
+    }
+  }
+  if (lut) {
+    const int64_t n = (int64_t)H * W;
 #pragma omp parallel for
-    for (int r = r0; r <= r1; r++)
-      for (int c = c0; c <= c1; c++)
-        if (inside_polygon(dist + (int64_t)i * R, R, cr, cc, (float)r, (float)c))
-          out[(int64_t)r * W + c] = std::max(out[(int64_t)r * W + c], order_values[i]);
+    for (int64_t p = 0; p < n; p++) out[p] = lut[out[p]];
   }
 }
 
@@ -367,6 +421,6 @@ void sd3d_dist_to_volume(const float* dist /* (M,R) */, const float* verts,
     out[m] = polyhedron_volume(dist + m * R, verts, faces, R, F);
 }
 
-int sd_version() { return 100; }
+int sd_version() { return 101; }
 
 }  // extern "C"

@@ -712,20 +712,27 @@ class StarDistBase:
             d = jnp.maximum(d, 1e-3)
             valid = vals > -1.0
             n_above = jnp.sum(mask)
+            # max dist over valid candidates (banded-NMS band width; avoids a
+            # separate device sync later)
+            dmax = jnp.max(jnp.where(valid[:, None], d, 0.0))
             if multiclass:
                 pc = outs[2][0].reshape(-1, outs[2].shape[-1])[flat_idx]
-                return vals, d, points, valid, n_above, pc
-            return vals, d, points, valid, n_above
+                return vals, d, points, valid, n_above, dmax, pc
+            return vals, d, points, valid, n_above, dmax
 
         return extract
 
     def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=2 ** 17,
-                           transfer_dtype=None):
-        """Run the on-device sparse extraction; returns numpy
+                           transfer_dtype=None, device_dist=False):
+        """Run the on-device sparse extraction; returns
         (prob, dist, points[, prob_class]) of valid candidates (points in
         output-grid units, unscaled). ``transfer_dtype`` (e.g. np.float16)
         reduces the host->device upload volume; values are cast back to
-        float32 on device."""
+        float32 on device. With ``device_dist=True`` the dist rows — by far
+        the largest candidate payload — are returned as a device (jax) array
+        instead of numpy, so the downstream device NMS consumes them without
+        a host round trip (top_k ordering = descending prob, which is the
+        NMS sort order)."""
         n_dim = self.config.n_dim
         if np.isscalar(b) or b is None:
             b = ((b, b) if b is not None else (-1, -1),) * n_dim
@@ -737,20 +744,26 @@ class StarDistBase:
         fn = self._sparse_extract_fn(K, b_key, multiclass)
         transfer_dtype = getattr(self, "transfer_dtype", None) if transfer_dtype is None else transfer_dtype
         x_up = x[np.newaxis].astype(transfer_dtype) if transfer_dtype is not None else x[np.newaxis]
-        outs = fn(self.params, self._extra_vars, jnp.asarray(x_up),
-                  jnp.float32(prob_thresh))
-        outs = [np.asarray(o) for o in outs]
-        vals, d, points, valid, n_above = outs[:5]
+        outs = list(fn(self.params, self._extra_vars, jnp.asarray(x_up),
+                       jnp.float32(prob_thresh)))
+        d_dev = outs[1]
+        if device_dist:
+            outs[1] = None             # keep dist on device: no host download
+        outs = jax.device_get(outs)    # one batched D2H transfer
+        vals, d, points, valid, n_above, dmax = outs[:6]
         n_above = int(n_above)
         if n_above > K:
             warnings.warn(
                 f"number of candidates ({n_above}) exceeds max_candidates ({K}); "
                 "keeping the top-K by probability")
-        vals = vals[valid]
-        d = d[valid]
-        points = points[valid]
+        n_valid = int(valid.sum())
+        vals = vals[:n_valid]          # top_k output: valid is a prefix
+        points = points[:n_valid]
+        d = d_dev[:n_valid] if device_dist else d[:n_valid]
+        if device_dist:
+            self._last_extract_dmax = float(dmax)
         if multiclass:
-            return vals, d, points, outs[5][valid]
+            return vals, d, points, outs[6][:n_valid]
         return vals, d, points
 
     def _predict_setup(self, img, axes, normalizer, n_tiles, show_tile_progress, predict_kwargs):
@@ -871,11 +884,14 @@ class StarDistBase:
 
     def _predict_sparse_generator(self, img, prob_thresh=None, axes=None, normalizer=None,
                                   n_tiles=None, show_tile_progress=True, b=2,
-                                  max_candidates=2 ** 17, **predict_kwargs):
+                                  max_candidates=2 ** 17, device_dist=False,
+                                  **predict_kwargs):
         """Sparse prediction: returns flat candidate lists
         (prob, dist, [prob_class], points). Candidate extraction (threshold,
         border exclusion, gather) runs on device — only candidate rows are
-        transferred to the host."""
+        transferred to the host. With ``device_dist=True`` (single-tile path)
+        the dist rows stay on device (consumed directly by the device NMS)
+        and the padding filter is folded into the device-side mask."""
         if prob_thresh is None:
             prob_thresh = self.thresholds.prob
 
@@ -925,24 +941,59 @@ class StarDistBase:
                     prob_classa.extend(res[3])
                 yield
         else:
-            res = self._sparse_extract_np(x, prob_thresh, b, max_candidates=max_candidates)
+            b_eff = b
+            if device_dist:
+                # fold the padded-region filter (resizer.filter_points) into
+                # the device-side mask: exclude grid cells whose pixel
+                # coordinate lands in the end-padding
+                sp_axes = [a for a in axes_net if a != "C"]
+                if np.isscalar(b) or b is None:
+                    b_tup = ((b, b) if b is not None else (-1, -1),) * len(sp_axes)
+                else:
+                    b_tup = tuple(b)
+                bs = []
+                for (blo, bhi), a, g, sp in zip(
+                        b_tup, sp_axes, self.config.grid,
+                        [s for s, a in zip(x.shape, axes_net) if a != "C"]):
+                    bound = resizer.padded_shape[a] - resizer.pad[a][1]
+                    ub_grid = (bound - 1) // g + 1
+                    sg = sp // g
+                    bs.append((blo, max(bhi if bhi is not None and bhi > 0 else 0,
+                                        sg - ub_grid)))
+                b_eff = tuple(bs)
+                filtered = True
+            res = self._sparse_extract_np(x, prob_thresh, b_eff,
+                                          max_candidates=max_candidates,
+                                          device_dist=device_dist)
             proba, dista, _points = res[:3]
             pointsa = _points * grid_arr
             if self._is_multiclass():
                 prob_classa = res[3]
 
+        # single-tile device_dist path: padding filter already folded into the
+        # device mask, dist rows live on device
+        filtered_on_device = device_dist and np.prod(n_tiles) == 1
+        dist_on_device = filtered_on_device and not isinstance(dista, (list, np.ndarray))
+
         proba = np.asarray(proba)
-        dista = np.asarray(dista).reshape((-1, self.config.n_rays))
+        if dist_on_device:
+            dista = dista.reshape((-1, self.config.n_rays))
+        else:
+            dista = np.asarray(dista).reshape((-1, self.config.n_rays))
         pointsa = np.asarray(pointsa).reshape((-1, self.config.n_dim))
 
-        idx = resizer.filter_points(x.ndim, pointsa, axes_net)
-        proba = proba[idx]
-        dista = dista[idx]
-        pointsa = pointsa[idx]
+        if not filtered_on_device:
+            idx = resizer.filter_points(x.ndim, pointsa, axes_net)
+            proba = proba[idx]
+            dista = dista[idx] if not dist_on_device else dista[np.asarray(idx[0])]
+            pointsa = pointsa[idx]
+        else:
+            idx = None
 
         if self._is_multiclass():
             prob_classa = np.asarray(prob_classa).reshape((-1, self.config.n_classes + 1))
-            prob_classa = prob_classa[idx]
+            if idx is not None:
+                prob_classa = prob_classa[idx]
             yield proba, dista, prob_classa, pointsa
         else:
             yield proba, dista, pointsa
@@ -997,10 +1048,12 @@ class StarDistBase:
 
         yield "predict"
         res = None
+        self._last_extract_dmax = None
         if sparse:
             for res in self._predict_sparse_generator(
                     img, axes=axes, normalizer=normalizer, n_tiles=n_tiles,
                     prob_thresh=prob_thresh, show_tile_progress=show_tile_progress,
+                    device_dist=predict_kwargs.pop("device_dist", True),
                     **predict_kwargs):
                 if res is None:
                     yield "tile"
@@ -1019,6 +1072,10 @@ class StarDistBase:
             prob_class = None
 
         yield "nms"
+        if sparse and getattr(self, "_last_extract_dmax", None) is not None:
+            # known max candidate dist from the device extraction: saves the
+            # banded NMS a device round trip for dist.max()
+            nms_kwargs.setdefault("dist_max", self._last_extract_dmax)
         res_instances = self._instances_from_prediction(
             _shape_inst, prob, dist, points=points, prob_class=prob_class,
             prob_thresh=prob_thresh, nms_thresh=nms_thresh,

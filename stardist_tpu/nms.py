@@ -96,8 +96,14 @@ def non_maximum_suppression(dist, prob, grid=(1, 1), b=2, nms_thresh=0.5,
 def non_maximum_suppression_sparse(dist, prob, points, b=2, nms_thresh=0.5,
                                    use_bbox=True, use_kdtree=True, verbose=False,
                                    **nms_opts):
-    """NMS from sparse candidate lists. Returns (points, prob, dist, inds_original)."""
-    dist = np.asarray(dist)
+    """NMS from sparse candidate lists. Returns (points, prob, dist, inds_original).
+
+    ``dist`` may be a device (jax) array — it is consumed by the device NMS
+    without a host round trip; only the surviving rows are transferred back
+    (the on-device candidate extraction path, models/base.py)."""
+    dist_on_device = not isinstance(dist, (list, tuple, np.ndarray))
+    if not dist_on_device:
+        dist = np.asarray(dist)
     prob = np.asarray(prob)
     points = np.asarray(points)
 
@@ -106,10 +112,13 @@ def non_maximum_suppression_sparse(dist, prob, points, b=2, nms_thresh=0.5,
 
     inds_original = np.arange(len(prob))
     _sorted = np.argsort(prob, kind="stable")[::-1]
-    probi = prob[_sorted]
-    disti = dist[_sorted]
-    pointsi = points[_sorted]
-    inds_original = inds_original[_sorted]
+    if np.array_equal(_sorted, inds_original):
+        probi, disti, pointsi = prob, dist, points
+    else:
+        probi = prob[_sorted]
+        disti = dist[_sorted]
+        pointsi = points[_sorted]
+        inds_original = inds_original[_sorted]
 
     if verbose:
         print("non-maximum suppression...")
@@ -121,6 +130,10 @@ def non_maximum_suppression_sparse(dist, prob, points, b=2, nms_thresh=0.5,
         print("keeping %s/%s polygons" % (np.count_nonzero(inds), len(inds)))
         print("NMS took %.4f s" % (time() - t))
 
+    if dist_on_device:
+        # download only the surviving rows
+        disti = np.asarray(disti[np.flatnonzero(inds)])
+        return pointsi[inds], probi[inds], disti, inds_original[inds]
     return pointsi[inds], probi[inds], disti[inds], inds_original[inds]
 
 
@@ -133,7 +146,9 @@ def non_maximum_suppression_inds(dist, points, scores, thresh=0.5, use_bbox=True
     if scores is None:
         scores = np.ones(n_poly)
     assert len(scores) == n_poly and points.shape[0] == n_poly
-    return nms_polygons(dist.astype(np.float32, copy=False),
+    if isinstance(dist, np.ndarray):
+        dist = dist.astype(np.float32, copy=False)
+    return nms_polygons(dist,
                         points.astype(np.float32, copy=False),
                         scores=scores, thresh=float(thresh), use_bbox=use_bbox,
                         use_kdtree=use_kdtree, verbose=verbose, **nms_opts)

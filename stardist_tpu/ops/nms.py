@@ -57,7 +57,9 @@ def _pad(x, n, value=0.0):
     if x.shape[0] >= n:
         return x
     widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-    return np.pad(x, widths, constant_values=value)
+    if isinstance(x, np.ndarray):
+        return np.pad(x, widths, constant_values=value)
+    return jnp.pad(x, widths, constant_values=value)  # device array stays put
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +502,7 @@ def _band_width_blocks(y_sorted, Q, T):
 def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
                                 amb_max=128, amb_cap=4096, pair_slots=8192,
                                 verbose=False, established=0, rank=None,
-                                band_bytes_cap=6 << 30):
+                                band_bytes_cap=6 << 30, dist_max=None):
     """Banded-kernel driver: sort by row coordinate, compute the band width,
     run `_greedy_nms_2d_banded` once (with ambiguous-cap retry). Returns the
     keep mask in the caller's (score) order, or None if the band is too wide
@@ -513,7 +515,7 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
     d = _pad(dist[order], Npad, value=1e-3)
     p = _pad(points[order], Npad, value=1e9)      # +inf-ish keeps y sorted
     rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
-    T = 2.0 * float(dist.max()) + 1.0
+    T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
     NB = _band_width_blocks(p[:, 0], Q, T)
     n_blocks = Npad // Q
     W = (2 * NB + 1) * Q
@@ -526,9 +528,9 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
     while True:
         A_p = min(_bucket(A, minimum=64), W)
         P_p = min(_bucket(P, minimum=1024), Q * A_p)
-        suppressed, max_amb, max_pairs = _greedy_nms_2d_banded(
+        suppressed, max_amb, max_pairs = jax.device_get(_greedy_nms_2d_banded(
             dj, pj, rj, valid, jnp.int32(established), float(thresh),
-            Q, NB, A_p, P_p, samples)
+            Q, NB, A_p, P_p, samples))
         max_amb = int(max_amb)
         max_pairs = int(max_pairs)
         amb_over = max_amb > A_p and A_p < W
@@ -682,7 +684,7 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
 
 def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
                          amb_max=64, amb_cap=4096, pair_slots=8192,
-                         kernel_size=16384, verbose=False):
+                         kernel_size=16384, verbose=False, dist_max=None):
     """Device NMS driver: banded single-call kernel for large N (candidates
     interact only within 2*max_dist, so the y-sorted suppression matrix is a
     narrow band); small-N fixed-size kernel otherwise; exact survivor-chunked
@@ -690,7 +692,8 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
     N = len(dist)
     if N > 2048:
         keep = _nms_polygons_device_banded(dist, points, thresh, samples,
-                                           amb_cap=amb_cap, verbose=verbose)
+                                           amb_cap=amb_cap, verbose=verbose,
+                                           dist_max=dist_max)
         if keep is not None:
             return keep
     if N <= kernel_size:
@@ -769,7 +772,7 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
                  use_kdtree=True, verbose=False, samples=16, dense_max=None,
-                 row_block=16, col_block=4096, device_nms=None):
+                 row_block=16, col_block=4096, device_nms=None, dist_max=None):
     """Greedy NMS over score-sorted 2D star polygons. Returns bool survivors.
 
     Candidates must already be sorted by descending score (same contract as
@@ -781,8 +784,13 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     - dense (small N): full suppression matrix + device greedy scan;
     - blocked (default on CPU at large N): host-driven greedy with
       suppressed-row skipping, mirroring the reference's row skipping.
+
+    ``dist`` may be a device (jax) array: the device paths consume it where
+    it lives; host fallbacks download it once.
     """
-    dist = np.asarray(dist, np.float32)
+    dist_on_device = not isinstance(dist, (list, tuple, np.ndarray))
+    if not dist_on_device:
+        dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     N = len(dist)
     if N == 0:
@@ -794,7 +802,9 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
         device_nms = jax.default_backend() == "tpu"
     if device_nms:
         return _nms_polygons_device(dist, points, thresh, samples=samples,
-                                    verbose=verbose)
+                                    verbose=verbose, dist_max=dist_max)
+    if dist_on_device:
+        dist = np.asarray(dist, np.float32)
     if dense_max is None:
         dense_max = 256
 
@@ -1091,7 +1101,7 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
                                  Q=256, amb_max=32, amb_cap=2048,
                                  pair_slots=2048, verbose=False,
                                  established=0, rank=None,
-                                 band_bytes_cap=6 << 30):
+                                 band_bytes_cap=6 << 30, dist_max=None):
     """Banded-kernel 3D driver: sort along the spatial axis with the largest
     extent, compute the band width, run `_greedy_nms_3d_banded` once.
     Returns keep mask in the caller's (score) order, or None if the band is
@@ -1105,7 +1115,7 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
     d = _pad(dist[order], Npad, value=1e-3)
     p = _pad(points[order], Npad, value=1e9)
     rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
-    T = 2.0 * float(dist.max()) + 1.0
+    T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
     NB = _band_width_blocks(p[:, axis], Q, T)
     W = (2 * NB + 1) * Q
     if W >= Npad or Npad * W * 2 > band_bytes_cap:
@@ -1119,9 +1129,9 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
     while True:
         A_p = min(_bucket(A, minimum=32), W)
         P_p = min(_bucket(P, minimum=512), Q * A_p)
-        suppressed, max_amb, max_pairs = _greedy_nms_3d_banded(
+        suppressed, max_amb, max_pairs = jax.device_get(_greedy_nms_3d_banded(
             dj, pj, ray_dirs, faces, rj, valid, jnp.int32(established),
-            float(thresh), Q, NB, A_p, P_p, samples)
+            float(thresh), Q, NB, A_p, P_p, samples))
         max_amb = int(max_amb)
         max_pairs = int(max_pairs)
         amb_over = max_amb > A_p and A_p < W
@@ -1148,12 +1158,13 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
 
 def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
                           amb_max=32, amb_cap=2048, pair_slots=2048,
-                          kernel_size=4096, verbose=False, established=0):
+                          kernel_size=4096, verbose=False, established=0,
+                          dist_max=None):
     N = len(dist)
     if N > 1024 and established == 0:
         keep = _nms_polyhedra_device_banded(dist, points, rays, thresh,
                                             samples=samples, amb_cap=amb_cap,
-                                            verbose=verbose)
+                                            verbose=verbose, dist_max=dist_max)
         if keep is not None:
             return keep
     if N > kernel_size:
@@ -1260,7 +1271,7 @@ def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, th
 
 def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
                   use_kdtree=True, verbose=False, samples=12, dense_max=None,
-                  row_block=8, col_block=128, device_nms=None):
+                  row_block=8, col_block=128, device_nms=None, dist_max=None):
     """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors."""
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
@@ -1274,7 +1285,7 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
         device_nms = jax.default_backend() == "tpu"
     if device_nms:
         return _nms_polyhedra_device(dist, points, rays, thresh, samples=samples,
-                                     verbose=verbose)
+                                     verbose=verbose, dist_max=dist_max)
     if dense_max is None:
         dense_max = 32
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))

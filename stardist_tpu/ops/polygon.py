@@ -12,8 +12,6 @@ the edge (v_k, v_{k+1}). This is O(1) per point — no loop over vertices.
 """
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,11 +43,13 @@ def points_in_polygons(dist, points, query):
     query  : (..., S, 2) query points (row, col), batch dims broadcast
     returns: (..., S) bool
 
-    Gather-free formulation for TPU: instead of looking up the wedge's edge
-    with take_along_axis (TPUs have no gather hardware), the edge test is
-    evaluated for every wedge (static unrolled loop over R) and selected by
-    the wedge index — pure VPU element-wise work, ray angles are compile-time
-    constants.
+    Gather-free formulation for TPU (no gather hardware): the wedge's edge
+    vertices are selected with a one-hot matmul against a per-polygon wedge
+    table (4 values per wedge: v0 = d_k*(sin,cos)phi_k, v1 = d_{k+1}*
+    (sin,cos)phi_{k+1}), then ONE edge side test runs per query point.
+    The one-hot contraction rides the MXU; selecting-by-sum is exact (the
+    non-selected terms contribute 0.0). This replaces an unrolled R-edge
+    test per query point with O(1) VPU work — identical results.
     """
     R = dist.shape[-1]
     dphi = 2 * np.pi / R
@@ -60,21 +60,26 @@ def points_in_polygons(dist, points, query):
     theta = jnp.mod(theta, 2 * np.pi)
     k = jnp.clip(jnp.floor(theta / dphi).astype(jnp.int32), 0, R - 1)  # (..., S)
 
-    inside = jnp.zeros(k.shape, bool)
-    for r in range(R):
-        s0, c0 = math.sin(r * dphi), math.cos(r * dphi)
-        s1, c1 = math.sin((r + 1) * dphi), math.cos((r + 1) * dphi)
-        d0 = dist[..., r][..., None]            # (..., 1) broadcasts over S
-        d1 = dist[..., (r + 1) % R][..., None]
-        v0r = d0 * s0
-        v0c = d0 * c0
-        er = d1 * s1 - v0r
-        ec = d1 * c1 - v0c
-        # point on the same side of the edge as the center (cross products)
-        cross_p = er * (uc - v0c) - ec * (ur - v0r)
-        cross_c = ec * v0r - er * v0c
-        inside = inside | ((k == r) & (cross_p * cross_c >= 0))
-    return inside
+    # per-polygon wedge vertex table (..., R, 4)
+    angles = np.arange(R) * dphi
+    s0 = jnp.asarray(np.sin(angles), dist.dtype)
+    c0 = jnp.asarray(np.cos(angles), dist.dtype)
+    s1 = jnp.asarray(np.sin(angles + dphi), dist.dtype)
+    c1 = jnp.asarray(np.cos(angles + dphi), dist.dtype)
+    d0 = dist
+    d1 = jnp.roll(dist, -1, axis=-1)
+    V = jnp.stack([d0 * s0, d0 * c0, d1 * s1, d1 * c1], axis=-1)
+
+    onehot = (k[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(dist.dtype)
+    picked = jnp.einsum("...sr,...rf->...sf", onehot, V,
+                        preferred_element_type=jnp.float32)      # (..., S, 4)
+    v0r, v0c = picked[..., 0], picked[..., 1]
+    er = picked[..., 2] - v0r
+    ec = picked[..., 3] - v0c
+    # point on the same side of the edge as the center (cross products)
+    cross_p = er * (uc - v0c) - ec * (ur - v0r)
+    cross_c = ec * v0r - er * v0c
+    return cross_p * cross_c >= 0
 
 
 def polygon_bboxes(dist, points):

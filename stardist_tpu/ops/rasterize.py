@@ -31,11 +31,14 @@ def _pad_to(x, n, axis=0, value=0):
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return np.pad(x, widths, constant_values=value)
+    if isinstance(x, np.ndarray):
+        return np.pad(x, widths, constant_values=value)
+    return jnp.pad(x, widths, constant_values=value)  # device array stays put
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist, with_count):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def _raster2d_impl(dist, points, vals, lut, shape, W, chunk, scale_dist,
+                   with_count, out_uint16):
     N = dist.shape[0]
     img0 = jnp.zeros(shape, jnp.int32)
     cnt0 = jnp.zeros(shape, jnp.int32) if with_count else jnp.zeros((1, 1), jnp.int32)
@@ -68,18 +71,25 @@ def _raster2d_impl(dist, points, vals, shape, W, chunk, scale_dist, with_count):
 
     n_chunks = (N + chunk - 1) // chunk
     img, cnt = jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
-    if N < 2 ** 16 - 1:
+    if lut is not None:
+        img = jnp.take(lut, img)      # winner order value -> label, on device
+    if out_uint16:
         img = img.astype(jnp.uint16)  # halves the device->host transfer
     return img, cnt
 
 
 def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256,
-                       scale_dist=(1, 1), return_count=False):
+                       scale_dist=(1, 1), return_count=False, labels=None):
     """Rasterize star polygons; per pixel the candidate with the largest
     positive ``order_values`` entry wins. Returns (winner_img, count_img)
     as numpy int32 arrays; winner 0 = background. When ``return_count`` is
-    False, the count image is not computed/transferred (None)."""
-    dist = np.asarray(dist, np.float32)
+    False, the count image is not computed/transferred (None).
+
+    ``labels`` (optional, len N): map the winning candidate's order value to
+    ``labels[i] + 1`` on device (0 stays background) — avoids a host-side
+    LUT pass over the full image. ``dist`` may be a device (jax) array."""
+    if isinstance(dist, (list, tuple, np.ndarray)):
+        dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     order_values = np.asarray(order_values, np.int32)
     N = len(dist)
@@ -87,17 +97,26 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         z = np.zeros(shape, np.int32)
         return z, (np.zeros(shape, np.int32) if return_count else None)
     if window is None:
-        window = 2 * int(np.ceil(dist.max() * max(scale_dist))) + 4
+        window = 2 * int(np.ceil(float(dist.max()) * max(scale_dist))) + 4
     window = int(min(window, 2 * max(shape) + 4))
     chunk = int(min(chunk, max(1, N)))
     Np = ((N + chunk - 1) // chunk) * chunk
+    if labels is not None:
+        lut_np = np.zeros(int(order_values.max(initial=0)) + 1, np.int32)
+        lut_np[order_values] = np.asarray(labels, np.int32) + 1
+        lut = jnp.asarray(lut_np)
+        out_max = int(lut_np.max(initial=0))
+    else:
+        lut = None
+        out_max = N
     img, cnt = _raster2d_impl(
-        jnp.asarray(_pad_to(dist, Np)),
+        _pad_to(dist, Np),
         jnp.asarray(_pad_to(points, Np)),
         jnp.asarray(_pad_to(order_values, Np)),
+        lut,
         tuple(shape), window, chunk,
         (float(scale_dist[0]), float(scale_dist[1])),
-        bool(return_count),
+        bool(return_count), out_max < 2 ** 16 - 1,
     )
     return (np.asarray(img).astype(np.int32),
             (np.asarray(cnt) if return_count else None))

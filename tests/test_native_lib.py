@@ -17,7 +17,7 @@ from utils import random_image
 
 
 def test_lib_builds():
-    assert get_lib().sd_version() == 100
+    assert get_lib().sd_version() == 101
 
 
 @pytest.mark.parametrize("grid", ((1, 1), (2, 2)))
