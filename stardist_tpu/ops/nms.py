@@ -434,10 +434,21 @@ def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
         pc = amb_idx.reshape(Q * A_max)[sel]                     # col in window
 
         # ---- exact sampled overlap on the P compacted pairs ----
-        d_rp, p_rp = d_r[pr], p_r[pr]
-        lo_rp, hi_rp, a_rp = lo_r[pr], hi_r[pr], a_r[pr]
-        d_cp, p_cp = d_c[pc], p_c[pc]
-        lo_cp, hi_cp, a_cp = lo_c[pc], hi_c[pc], a_c[pc]
+        # pair-row fetch as one-hot f32 matmuls (MXU) instead of gathers —
+        # TPUs have no gather unit; selecting-by-sum is exact (non-selected
+        # terms contribute 0.0)
+        F_r = jnp.concatenate([d_r, p_r, lo_r, hi_r, a_r[:, None]], axis=1)
+        F_c = jnp.concatenate([d_c, p_c, lo_c, hi_c, a_c[:, None]], axis=1)
+        oh_r = (pr[:, None] == jnp.arange(Q, dtype=jnp.int32)).astype(jnp.float32)
+        oh_c = (pc[:, None] == col_pos).astype(jnp.float32)
+        G_r = jnp.dot(oh_r, F_r, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)        # (P, R+7)
+        G_c = jnp.dot(oh_c, F_c, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+        d_rp, p_rp = G_r[:, :R], G_r[:, R:R + 2]
+        lo_rp, hi_rp, a_rp = G_r[:, R + 2:R + 4], G_r[:, R + 4:R + 6], G_r[:, R + 6]
+        d_cp, p_cp = G_c[:, :R], G_c[:, R:R + 2]
+        lo_cp, hi_cp, a_cp = G_c[:, R + 2:R + 4], G_c[:, R + 4:R + 6], G_c[:, R + 6]
 
         plo = jnp.maximum(lo_rp, lo_cp)                          # (P, 2)
         phi = jnp.minimum(hi_rp, hi_cp)
