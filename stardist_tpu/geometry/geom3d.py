@@ -28,6 +28,26 @@ def star_dist3D(lbl, rays, grid=(1, 1, 1), mode="jax"):
         raise ValueError(f"Unknown mode {mode}")
 
 
+def _use_native_raster3d():
+    """Host-native rasterization when the device sits behind a slow
+    device->host link (see geom2d._use_native_raster2d). Overridable via
+    STARDIST_TPU_RASTER3D=native|device|auto."""
+    import os
+    mode = os.environ.get("STARDIST_TPU_RASTER3D", "auto")
+    if mode == "device":
+        return False
+    if mode != "native":
+        import jax
+        if jax.default_backend() != "tpu":
+            return False
+    try:
+        from ..lib import get_lib
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
 def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,
                         labels=None, mode="full", verbose=True, overlap_label=None):
     """Create a label image from star-polyhedron representations.
@@ -87,15 +107,26 @@ def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,
     order_values = np.empty(n, np.int32)
     order_values[order] = np.arange(n, 0, -1)
 
+    if mode == "full" and _use_native_raster3d():
+        from ..lib import polyhedra_to_label_native
+        res = polyhedra_to_label_native(
+            dist, points, rays, tuple(shape), order_values,
+            return_count=overlap_label is not None, labels=labels)
+        if overlap_label is not None:
+            out, cnt = res
+            out = np.where(cnt > 1, overlap_label, out)
+        else:
+            out = res
+        return out.astype(np.int32)
+
     img, cnt = rasterize_polyhedra(dist, points, rays, tuple(shape),
                                    order_values, mode=mode,
-                                   return_count=overlap_label is not None)
-    lut = np.zeros(n + 1, np.int64)
-    lut[order_values] = labels
-    out = lut[img]
+                                   return_count=overlap_label is not None,
+                                   labels=labels)
+    out = img
     if overlap_label is not None:
         out = np.where(cnt > 1, overlap_label, out)
-    return out.astype(np.int32 if overlap_label is None or overlap_label >= 0 else np.int32)
+    return out.astype(np.int32)
 
 
 def relabel_image_stardist3D(lbl, rays, verbose=False, **kwargs):

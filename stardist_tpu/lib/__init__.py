@@ -147,7 +147,8 @@ def polygons_to_label_native(dist, points, shape, order_values, labels=None):
     return out
 
 
-def polyhedra_to_label_native(dist, points, rays, shape, order_values, return_count=False):
+def polyhedra_to_label_native(dist, points, rays, shape, order_values,
+                              return_count=False, labels=None):
     lib = get_lib()
     dist = _f32(dist)
     points = _f32(points)
@@ -165,6 +166,10 @@ def polyhedra_to_label_native(dist, points, rays, shape, order_values, return_co
         shape[0], shape[1], shape[2], _p(out, ctypes.c_int32),
         _p(cnt, ctypes.c_int32) if return_count else
         ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
+    if labels is not None:
+        lut = np.zeros(int(order_values.max(initial=0)) + 1, np.int32)
+        lut[order_values] = np.asarray(labels, np.int32)
+        out = lut[out]
     return (out, cnt) if return_count else out
 
 

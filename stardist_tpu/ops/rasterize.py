@@ -105,10 +105,10 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         lut_np = np.zeros(int(order_values.max(initial=0)) + 1, np.int32)
         lut_np[order_values] = np.asarray(labels, np.int32) + 1
         lut = jnp.asarray(lut_np)
-        out_max = int(lut_np.max(initial=0))
+        out_u16 = int(lut_np.min()) >= 0 and int(lut_np.max()) < 2 ** 16 - 1
     else:
         lut = None
-        out_max = N
+        out_u16 = N < 2 ** 16 - 1
     img, cnt = _raster2d_impl(
         _pad_to(dist, Np),
         jnp.asarray(_pad_to(points, Np)),
@@ -116,15 +116,15 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         lut,
         tuple(shape), window, chunk,
         (float(scale_dist[0]), float(scale_dist[1])),
-        bool(return_count), out_max < 2 ** 16 - 1,
+        bool(return_count), out_u16,
     )
     return (np.asarray(img).astype(np.int32),
             (np.asarray(cnt) if return_count else None))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode,
-                   with_count):
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _raster3d_impl(dist, points, vals, ray_dirs, faces, lut, shape, W, chunk,
+                   mode, with_count, out_uint16):
     N = dist.shape[0]
     img0 = jnp.zeros(shape, jnp.int32)
     cnt0 = jnp.zeros(shape, jnp.int32) if with_count else jnp.zeros((1, 1, 1), jnp.int32)
@@ -177,16 +177,19 @@ def _raster3d_impl(dist, points, vals, ray_dirs, faces, shape, W, chunk, mode,
 
     n_chunks = (N + chunk - 1) // chunk
     img, cnt = jax.lax.fori_loop(0, n_chunks, body, (img0, cnt0))
-    if N < 2 ** 16 - 1:
+    if lut is not None:
+        img = jnp.take(lut, img)      # winner order value -> label, on device
+    if out_uint16:
         img = img.astype(jnp.uint16)  # halves the device->host transfer
     return img, cnt
 
 
 def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
-                        chunk=8, mode="full", return_count=True):
+                        chunk=8, mode="full", return_count=True, labels=None):
     """Rasterize star polyhedra; per voxel the candidate with the largest
     positive ``order_values`` entry wins. Returns (winner_img, count_img);
-    count_img is None when ``return_count`` is False."""
+    count_img is None when ``return_count`` is False. With ``labels``, the
+    winning candidate's order value is mapped to labels[i] on device."""
     dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     order_values = np.asarray(order_values, np.int32)
@@ -199,13 +202,22 @@ def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
     window = int(min(window, 2 * max(shape) + 4))
     chunk = int(min(chunk, max(1, N)))
     Np = ((N + chunk - 1) // chunk) * chunk
+    if labels is not None:
+        lut_np = np.zeros(int(order_values.max(initial=0)) + 1, np.int32)
+        lut_np[order_values] = np.asarray(labels, np.int32)
+        lut = jnp.asarray(lut_np)
+        out_u16 = int(lut_np.min()) >= 0 and int(lut_np.max()) < 2 ** 16 - 1
+    else:
+        lut = None
+        out_u16 = N < 2 ** 16 - 1
     img, cnt = _raster3d_impl(
         jnp.asarray(_pad_to(dist, Np)),
         jnp.asarray(_pad_to(points, Np)),
         jnp.asarray(_pad_to(order_values, Np)),
         jnp.asarray(np.asarray(rays.vertices, np.float32)),
         jnp.asarray(np.asarray(rays.faces, np.int32)),
-        tuple(shape), window, chunk, mode, bool(return_count),
+        lut,
+        tuple(shape), window, chunk, mode, bool(return_count), out_u16,
     )
     return (np.asarray(img).astype(np.int32),
             (np.asarray(cnt) if return_count else None))

@@ -72,6 +72,55 @@ def test_raster2d_native_vs_jax():
     assert np.array_equal(a, b)
 
 
+def test_raster3d_native_vs_jax():
+    from stardist_tpu.ops.rasterize import rasterize_polyhedra
+    from stardist_tpu.lib import polyhedra_to_label_native
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+
+    rays = Rays_GoldenSpiral(32)
+    rng = np.random.RandomState(4)
+    N = 15
+    dist = rng.uniform(3, 7, (N, 32)).astype(np.float32)
+    points = rng.uniform(10, 40, (N, 3)).astype(np.float32)
+    order = np.arange(1, N + 1, dtype=np.int32)
+    labels = rng.permutation(N).astype(np.int32) + 1
+    a, cnt_a = rasterize_polyhedra(dist, points, rays, (48, 48, 48), order,
+                                   return_count=True, labels=labels)
+    b, cnt_b = polyhedra_to_label_native(dist, points, rays, (48, 48, 48),
+                                         order, return_count=True,
+                                         labels=labels)
+    assert np.array_equal(a, b), (a != b).sum()
+    assert np.array_equal(cnt_a, cnt_b)
+
+
+def test_polyhedron_to_label_native_dispatch_equals_device():
+    import os
+    from stardist_tpu.geometry.geom3d import polyhedron_to_label
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+
+    rays = Rays_GoldenSpiral(24)
+    rng = np.random.RandomState(5)
+    N = 12
+    dist = rng.uniform(3, 7, (N, 24)).astype(np.float32)
+    points = rng.uniform(10, 40, (N, 3)).astype(np.float32)
+    prob = rng.uniform(0.2, 1.0, N).astype(np.float32)
+    try:
+        os.environ["STARDIST_TPU_RASTER3D"] = "native"
+        a = polyhedron_to_label(dist, points, rays, (48, 48, 48), prob=prob,
+                                verbose=False, overlap_label=-1)
+        a2 = polyhedron_to_label(dist, points, rays, (48, 48, 48), prob=prob,
+                                 verbose=False)
+        os.environ["STARDIST_TPU_RASTER3D"] = "device"
+        b = polyhedron_to_label(dist, points, rays, (48, 48, 48), prob=prob,
+                                verbose=False, overlap_label=-1)
+        b2 = polyhedron_to_label(dist, points, rays, (48, 48, 48), prob=prob,
+                                 verbose=False)
+    finally:
+        del os.environ["STARDIST_TPU_RASTER3D"]
+    assert np.array_equal(a, b)
+    assert np.array_equal(a2, b2)
+
+
 def test_dist_to_volume_native():
     rays = Rays_GoldenSpiral(32)
     rng = np.random.RandomState(2)
