@@ -452,6 +452,25 @@ class StarDistBase:
             _, metrics = loss_and_metrics(params, batch, rng)
             return metrics
 
+        # fused path: raw (x, labels) batches, targets (EDT prob + star
+        # distances) computed inside the SAME jit as the update — per step
+        # only the raw patches cross the host->device link and no target
+        # tensors ever come back (the classic path downloads them from the
+        # target-gen kernels and re-uploads for the step)
+        targets_fn = self._device_targets_fn()
+        if targets_fn is not None:
+            @jax.jit
+            def train_step_raw(params, opt_state, raw, rng):
+                batch = targets_fn(raw)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_and_metrics, has_aux=True)(params, batch, rng)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, metrics
+            self._train_step_raw = train_step_raw
+        else:
+            self._train_step_raw = None
+
         self._train_step = train_step
         self._eval_step = eval_step
         self._setup_data_sharding()
@@ -560,7 +579,10 @@ class StarDistBase:
                 if isinstance(batch, Exception):
                     raise batch
                 rng, sub = jax.random.split(rng)
-                self.params, self.opt_state, metrics = self._train_step(
+                step_fn = (self._train_step_raw
+                           if "y" in batch and self._train_step_raw is not None
+                           else self._train_step)
+                self.params, self.opt_state, metrics = step_fn(
                     self.params, self.opt_state, self._put_batch(batch), sub)
                 train_logs.append(metrics)
                 step += 1
@@ -1267,6 +1289,12 @@ class StarDistBase:
 
     def _axes_div_by(self, query_axes):
         raise NotImplementedError()
+
+    def _device_targets_fn(self):
+        """Traceable (raw batch dict) -> (targets batch dict) builder for the
+        fused training step, or None when unsupported (then the classic
+        host-side target generation is used). Overridden per model class."""
+        return None
 
     def _instances_from_prediction(self, *args, **kwargs):
         raise NotImplementedError()

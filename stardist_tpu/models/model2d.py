@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import warnings
 
+import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import zoom
 
@@ -46,7 +47,8 @@ class StarDistData2D(StarDistDataBase):
 
         self.sd_mode = "jax"
 
-    def __getitem__(self, i):
+    def _sample_batch(self, i):
+        """Shared host prefix: fg-biased patch sampling + augmentation."""
         idx = self.batch(i)
         arrays = [
             sample_patches((self.Y[k],) + self.channels_as_tuple(self.X[k]),
@@ -63,6 +65,35 @@ class StarDistData2D(StarDistDataBase):
             ]))
 
         X, Y = tuple(zip(*tuple(self.augmenter(_x, _y) for _x, _y in zip(X, Y))))
+        return idx, X, Y
+
+    @property
+    def supports_raw(self):
+        """True when the fused device target generation can replace the
+        classic host path for this data configuration."""
+        return self.n_classes is None and not self.shape_completion
+
+    def raw_item(self, i):
+        """Raw batch for the fused training step: patches + label image +
+        per-patch unique positive labels (padded; capacity bucketed so the
+        jitted step compiles for a few sizes only)."""
+        _, X, Y = self._sample_batch(i)
+        X = np.stack(X)
+        if X.ndim == 3:
+            X = np.expand_dims(X, -1)
+        Yi = np.stack([y.astype(np.int32, copy=False) for y in Y])
+        labs = [np.unique(y[y > 0]) for y in Yi]
+        cap = 8
+        need = max([1] + [len(l) for l in labs])
+        while cap < need:
+            cap *= 2
+        labels = np.zeros((len(labs), cap), np.int32)
+        for j, l in enumerate(labs):
+            labels[j, :len(l)] = l
+        return {"x": X.astype(np.float32, copy=False), "y": Yi, "labels": labels}
+
+    def __getitem__(self, i):
+        idx, X, Y = self._sample_batch(i)
 
         mask_neg_labels = tuple(y[self.b][self.ss_grid[1:3]] < 0 for y in Y)
         has_neg_labels = any(m.any() for m in mask_neg_labels)
@@ -256,8 +287,48 @@ class StarDist2D(StarDistBase):
                                          length=epochs * steps_per_epoch, **data_kwargs)
 
         val_batch = _as_batch_dict(data_val, self._is_multiclass())
-        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass())
+        use_raw = (getattr(self, "_train_step_raw", None) is not None
+                   and getattr(self.data_train, "supports_raw", False))
+        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass(),
+                                       raw=use_raw)
         return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+
+    def _device_targets_fn(self):
+        """Traceable targets builder for the fused training step: EDT prob
+        (exact separable min-plus, one-vs-rest over the patch's labels) and
+        star distances (shift-compare ray march) computed on device from the
+        raw label patches — same values as the classic host pipeline
+        (StarDistData2D.__getitem__), no host round trip."""
+        import os
+        if self._is_multiclass() or self.config.train_shape_completion:
+            return None
+        if os.environ.get("STARDIST_TPU_FUSED_TARGETS", "1") == "0":
+            return None
+        import jax
+        from ..ops.edt import edt_prob_core
+        from ..ops.stardist2d import _star_dist2d_batch_impl, _default_max_dist
+
+        gy, gx = (int(g) for g in self.config.grid)
+        n_rays = int(self.config.n_rays)
+
+        def fn(raw):
+            x = raw["x"].astype(jnp.float32)
+            y = raw["y"]                      # (B, H, W) int32, may be < 0
+            labels = raw["labels"]            # (B, L) int32, 0-padded
+            y_pos = jnp.maximum(y, 0)
+            y_sub = y[:, ::gy, ::gx]
+            mask_neg = y_sub < 0
+            lbl_sub = y_pos[:, ::gy, ::gx]
+            prob_raw = jax.vmap(
+                lambda l, lab: edt_prob_core(l, lab, (1.0, 1.0)))(lbl_sub, labels)
+            max_dist = _default_max_dist(y.shape[1:])
+            dist = _star_dist2d_batch_impl(y_pos, n_rays, (gy, gx), max_dist)
+            dist_and_mask = jnp.concatenate(
+                [dist, prob_raw[..., None]], axis=-1)
+            prob = jnp.where(mask_neg, -1.0, prob_raw)[..., None]
+            return {"x": x, "prob": prob, "dist": dist_and_mask}
+
+        return fn
 
     def _instances_from_prediction(self, img_shape, prob, dist, points=None,
                                    prob_class=None, prob_thresh=None, nms_thresh=None,
@@ -334,9 +405,12 @@ def _as_batch_dict(batch_tuple, multiclass):
 
 
 class _BatchDictAdapter:
-    def __init__(self, seq, multiclass):
+    def __init__(self, seq, multiclass, raw=False):
         self.seq = seq
         self.multiclass = multiclass
+        self.raw = raw
 
     def __getitem__(self, i):
+        if self.raw:
+            return self.seq.raw_item(i)
         return _as_batch_dict(self.seq[i], self.multiclass)

@@ -196,8 +196,13 @@ def non_maximum_suppression_3d(dist, prob, rays, grid=(1, 1, 1), b=2,
 
 def non_maximum_suppression_3d_sparse(dist, prob, points, rays, b=2, nms_thresh=0.5,
                                       use_kdtree=True, verbose=False, **nms_opts):
-    """NMS from sparse 3D candidate lists. Returns (points, prob, dist, inds_original)."""
-    dist = np.asarray(dist)
+    """NMS from sparse 3D candidate lists. Returns (points, prob, dist, inds_original).
+
+    ``dist`` may be a device (jax) array — consumed by the device NMS where
+    it lives; only surviving rows transfer back."""
+    dist_on_device = not isinstance(dist, (list, tuple, np.ndarray))
+    if not dist_on_device:
+        dist = np.asarray(dist)
     prob = np.asarray(prob)
     points = np.asarray(points)
     assert dist.ndim == 2 and prob.ndim == 1 and points.ndim == 2 \
@@ -206,16 +211,22 @@ def non_maximum_suppression_3d_sparse(dist, prob, points, rays, b=2, nms_thresh=
 
     inds_original = np.arange(len(prob))
     _sorted = np.argsort(prob, kind="stable")[::-1]
-    probi = prob[_sorted]
-    disti = dist[_sorted]
-    pointsi = points[_sorted]
-    inds_original = inds_original[_sorted]
+    if np.array_equal(_sorted, inds_original):
+        probi, disti, pointsi = prob, dist, points
+    else:
+        probi = prob[_sorted]
+        disti = dist[_sorted]
+        pointsi = points[_sorted]
+        inds_original = inds_original[_sorted]
 
     verbose and print("non-maximum suppression...")
     inds = non_maximum_suppression_3d_inds(disti, pointsi, rays=rays, scores=probi,
                                            thresh=nms_thresh, use_kdtree=use_kdtree,
                                            verbose=verbose, **nms_opts)
     verbose and print("keeping %s/%s polyhedra" % (np.count_nonzero(inds), len(inds)))
+    if dist_on_device:
+        disti = np.asarray(disti[np.flatnonzero(inds)])
+        return pointsi[inds], probi[inds], disti, inds_original[inds]
     return pointsi[inds], probi[inds], disti[inds], inds_original[inds]
 
 
@@ -233,8 +244,10 @@ def non_maximum_suppression_3d_inds(dist, points, rays, scores, thresh=0.5,
     survivors = np.ones(n_poly, bool)
     if verbose:
         t = time()
+    disti = dist[ind] if not isinstance(dist, np.ndarray) else \
+        dist[ind].astype(np.float32, copy=False)
     survivors[ind] = nms_polyhedra(
-        dist[ind].astype(np.float32, copy=False),
+        disti,
         points[ind].astype(np.float32, copy=False),
         rays, scores=np.asarray(scores)[ind], thresh=float(thresh),
         use_bbox=use_bbox, use_kdtree=use_kdtree, verbose=verbose, **nms_opts)

@@ -30,9 +30,9 @@ def _minplus_axis(f, axis, spacing):
     return jnp.moveaxis(out, -1, axis)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _edt_prob_impl(lbl, labels, spacing):
-    """lbl (sp...), labels (L,) -> per-pixel normalized EDT prob."""
+def edt_prob_core(lbl, labels, spacing):
+    """Traceable core (usable inside other jitted programs, e.g. the fused
+    training step): lbl (sp...), labels (L,) -> normalized EDT prob."""
     L = labels.shape[0]
     valid = labels > 0
     mask = lbl[None] == labels.reshape((L,) + (1,) * lbl.ndim)  # (L, sp...)
@@ -45,6 +45,9 @@ def _edt_prob_impl(lbl, labels, spacing):
     probs = jnp.where(mask & valid.reshape((L,) + (1,) * lbl.ndim),
                       d / (dmax + 1e-10), 0.0)
     return jnp.sum(probs, axis=0)
+
+
+_edt_prob_impl = functools.partial(jax.jit, static_argnums=(2,))(edt_prob_core)
 
 
 def edt_prob_jax(lbl_img, anisotropy=None, label_block=64):

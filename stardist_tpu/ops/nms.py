@@ -1283,8 +1283,13 @@ def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, th
 def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
                   use_kdtree=True, verbose=False, samples=12, dense_max=None,
                   row_block=8, col_block=128, device_nms=None, dist_max=None):
-    """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors."""
-    dist = np.asarray(dist, np.float32)
+    """Greedy NMS over score-sorted 3D star polyhedra. Returns bool survivors.
+
+    ``dist`` may be a device (jax) array: the device paths consume it where
+    it lives; host fallbacks download it once."""
+    dist_on_device = not isinstance(dist, (list, tuple, np.ndarray))
+    if not dist_on_device:
+        dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     N = len(dist)
     if N == 0:
@@ -1297,6 +1302,8 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
     if device_nms:
         return _nms_polyhedra_device(dist, points, rays, thresh, samples=samples,
                                      verbose=verbose, dist_max=dist_max)
+    if dist_on_device:
+        dist = np.asarray(dist, np.float32)
     if dense_max is None:
         dense_max = 32
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
