@@ -37,7 +37,8 @@ class StarDistData3D(StarDistDataBase):
         self.anisotropy = anisotropy
         self.sd_mode = "jax"
 
-    def __getitem__(self, i):
+    def _sample_batch(self, i):
+        """Shared host prefix: fg-biased patch sampling + augmentation."""
         idx = self.batch(i)
         arrays = [
             sample_patches((self.Y[k],) + self.channels_as_tuple(self.X[k]),
@@ -54,6 +55,31 @@ class StarDistData3D(StarDistDataBase):
             ]))
 
         X, Y = tuple(zip(*tuple(self.augmenter(_x, _y) for _x, _y in zip(X, Y))))
+        return idx, X, Y
+
+    @property
+    def supports_raw(self):
+        return self.n_classes is None
+
+    def raw_item(self, i):
+        """Raw batch for the fused training step (see model2d.raw_item)."""
+        _, X, Y = self._sample_batch(i)
+        X = np.stack(X)
+        if X.ndim == 4:
+            X = np.expand_dims(X, -1)
+        Yi = np.stack([y.astype(np.int32, copy=False) for y in Y])
+        labs = [np.unique(y[y > 0]) for y in Yi]
+        cap = 8
+        need = max([1] + [len(l) for l in labs])
+        while cap < need:
+            cap *= 2
+        labels = np.zeros((len(labs), cap), np.int32)
+        for j, l in enumerate(labs):
+            labels[j, :len(l)] = l
+        return {"x": X.astype(np.float32, copy=False), "y": Yi, "labels": labels}
+
+    def __getitem__(self, i):
+        idx, X, Y = self._sample_batch(i)
 
         mask_neg_labels = tuple(y[self.ss_grid[1:4]] < 0 for y in Y)
         has_neg_labels = any(m.any() for m in mask_neg_labels)
@@ -257,8 +283,52 @@ class StarDist3D(StarDistBase):
                                          length=epochs * steps_per_epoch, **data_kwargs)
 
         val_batch = _as_batch_dict(data_val, self._is_multiclass())
-        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass())
+        use_raw = (getattr(self, "_train_step_raw", None) is not None
+                   and getattr(self.data_train, "supports_raw", False))
+        train_data = _BatchDictAdapter(self.data_train, self._is_multiclass(),
+                                       raw=use_raw)
         return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+
+    def _device_targets_fn(self):
+        """Traceable targets builder for the fused 3D training step (see
+        StarDist2D._device_targets_fn). Note: in 3D the EDT runs at full
+        resolution (with anisotropy spacing) and is then grid-subsampled
+        (reference model3d.py:87-92)."""
+        import os
+        if self._is_multiclass():
+            return None
+        if os.environ.get("STARDIST_TPU_FUSED_TARGETS", "1") == "0":
+            return None
+        import jax
+        import jax.numpy as jnp
+        from ..ops.edt import edt_prob_core
+        from ..ops.stardist3d import _star_dist3d_batch_impl, _default_max_dist
+
+        cfg = self.config
+        gz, gy, gx = (int(g) for g in cfg.grid)
+        rays = rays_from_json(cfg.rays_json)
+        dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+        spacing = tuple(float(a) for a in (cfg.anisotropy if cfg.anisotropy
+                                           is not None else (1.0, 1.0, 1.0)))
+
+        def fn(raw):
+            x = raw["x"].astype(jnp.float32)
+            y = raw["y"]                      # (B, D, H, W) int32
+            labels = raw["labels"]            # (B, L) int32, 0-padded
+            y_pos = jnp.maximum(y, 0)
+            y_sub = y[:, ::gz, ::gy, ::gx]
+            mask_neg = y_sub < 0
+            prob_full = jax.vmap(
+                lambda l, lab: edt_prob_core(l, lab, spacing))(y_pos, labels)
+            prob_raw = prob_full[:, ::gz, ::gy, ::gx]
+            max_dist = _default_max_dist(y.shape[1:])
+            dist = _star_dist3d_batch_impl(y_pos, dirs, (gz, gy, gx), max_dist)
+            dist_and_mask = jnp.concatenate(
+                [dist, prob_raw[..., None]], axis=-1)
+            prob = jnp.where(mask_neg, -1.0, prob_raw)[..., None]
+            return {"x": x, "prob": prob, "dist": dist_and_mask}
+
+        return fn
 
     def _instances_from_prediction(self, img_shape, prob, dist, points=None,
                                    prob_class=None, prob_thresh=None, nms_thresh=None,
