@@ -60,7 +60,8 @@ def _use_native_raster2d(shape, scale_dist):
     """Host-native rasterization wins when the device is behind a slow
     device->host link (the full label image must come back either way):
     render the few surviving polygons on the host instead of downloading
-    H*W. Overridable via STARDIST_TPU_RASTER2D=native|device|auto."""
+    H*W. Auto mode probes the measured D2H bandwidth once; overridable via
+    STARDIST_TPU_RASTER2D=native|device|auto."""
     import os
     mode = os.environ.get("STARDIST_TPU_RASTER2D", "auto")
     if mode == "device":
@@ -71,6 +72,10 @@ def _use_native_raster2d(shape, scale_dist):
         import jax
         if jax.default_backend() != "tpu":
             return False
+        from ..core.linkspeed import d2h_bandwidth_bytes_per_s
+        bw = d2h_bandwidth_bytes_per_s()
+        if bw is not None and bw > 200e6:
+            return False  # fast link: on-device rasterize + download wins
     try:
         from ..lib import get_lib
         get_lib()

@@ -40,6 +40,10 @@ def _use_native_raster3d():
         import jax
         if jax.default_backend() != "tpu":
             return False
+        from ..core.linkspeed import d2h_bandwidth_bytes_per_s
+        bw = d2h_bandwidth_bytes_per_s()
+        if bw is not None and bw > 200e6:
+            return False  # fast link: on-device rasterize + download wins
     try:
         from ..lib import get_lib
         get_lib()

@@ -61,6 +61,10 @@ def _raster2d_impl(dist, points, vals, lut, shape, W, chunk, scale_dist,
         # anisotropic scale_dist: test in the unscaled polygon frame
         q_rel = (q - p[:, None, :]) * inv_scale
         inside = points_in_polygons(d, jnp.zeros_like(p), q_rel) & (v > 0)[:, None]
+        # negative indices would WRAP in the scatter (mode="drop" only drops
+        # indices beyond the array) — mask them out explicitly
+        in_img = ((rr >= 0)[:, :, None] & (cc >= 0)[:, None, :]).reshape(chunk, W * W)
+        inside = inside & in_img
         val_patch = jnp.where(inside, v[:, None], 0)
         rr_full = jnp.broadcast_to(rr[:, :, None], (chunk, W, W)).reshape(-1)
         cc_full = jnp.broadcast_to(cc[:, None, :], (chunk, W, W)).reshape(-1)
@@ -96,6 +100,22 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
     if N == 0:
         z = np.zeros(shape, np.int32)
         return z, (np.zeros(shape, np.int32) if return_count else None)
+
+    # scatter-free Pallas tile kernel (TPU): identical results, no scatter.
+    # Opt-in (STARDIST_TPU_PALLAS_RASTER=1) until the first-compile cost is
+    # acceptable by default — the kernel itself beats the scatter splat, but
+    # a cold Mosaic compile through a remote-TPU tunnel takes minutes.
+    import os
+    if (not return_count and tuple(scale_dist) == (1, 1)
+            and isinstance(dist, np.ndarray)
+            and os.environ.get("STARDIST_TPU_PALLAS_RASTER", "0") == "1"
+            and jax.default_backend() == "tpu"):
+        from .raster_pallas import rasterize_polygons_tiles
+        res = rasterize_polygons_tiles(dist, points, tuple(shape),
+                                       order_values, labels=labels,
+                                       window=window)
+        if res is not None:
+            return res
     if window is None:
         window = 2 * int(np.ceil(float(dist.max()) * max(scale_dist))) + 4
     window = int(min(window, 2 * max(shape) + 4))
@@ -166,6 +186,11 @@ def _raster3d_impl(dist, points, vals, ray_dirs, faces, lut, shape, W, chunk,
             inv, valid = polyhedron_face_inverses(d, ray_dirs, faces)
             inside = points_in_polyhedra(inv, valid, p, q)
         inside = inside & (v > 0)[:, None]
+        # negative indices would WRAP in the scatter — mask them out
+        in_img = ((zz >= 0)[:, :, None, None]
+                  & (yy >= 0)[:, None, :, None]
+                  & (xx >= 0)[:, None, None, :]).reshape(chunk, W ** 3)
+        inside = inside & in_img
         val_patch = jnp.where(inside, v[:, None], 0)
         zf = jnp.broadcast_to(zz[:, :, None, None], (chunk, W, W, W)).reshape(-1)
         yf = jnp.broadcast_to(yy[:, None, :, None], (chunk, W, W, W)).reshape(-1)
