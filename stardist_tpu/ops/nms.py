@@ -130,7 +130,7 @@ def _inner_radius_2d(dist):
     return jnp.min(d0 * d1 * np.sin(dphi) / chord, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@jax.jit
 def _bounds_block_2d(dist_r, points_r, dist_c, points_c, thresh):
     """(definite_suppress, definite_keep) bool (B, M) from disc/bbox bounds."""
     area_r = polygon_areas(dist_r)
@@ -150,7 +150,7 @@ def _bounds_block_2d(dist_r, points_r, dist_c, points_c, thresh):
     return lb > thresh, ub <= thresh
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@jax.jit
 def _bounds_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, thresh):
     vol_r = polyhedron_volumes(dist_r, ray_dirs, faces)
     vol_c = polyhedron_volumes(dist_c, ray_dirs, faces)
@@ -230,7 +230,7 @@ def _greedy_fixpoint(sup_mat, valid):
     return keep
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _greedy_nms_2d_device(dist, points, valid, established, thresh, B, A_max,
                           P, S):
     """Greedy NMS entirely on device in ONE call, two phases:
@@ -344,7 +344,7 @@ def _greedy_nms_2d_device(dist, points, valid, established, thresh, B, A_max,
 # banded device greedy NMS (2D): single call for large N
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
                           Q, NB, A_max, P, S):
     """Banded variant of `_greedy_nms_2d_device` for candidates pre-sorted by
@@ -612,7 +612,7 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
     return ~np.asarray(suppressed)[:N]
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@jax.jit
 def _presuppress_2d(dist_s, points_s, dist_c, points_c, thresh):
     """killed (C,) = definitely suppressed by some established survivor
     (inscribed-disc lower bound only — consistent with the greedy kernel's
@@ -742,7 +742,7 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
 # 2D
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4,))
 def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
     """Overlap criterion for a block of row candidates vs column candidates.
 
@@ -836,7 +836,7 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 5))
 def _dense_suppression_2d(dist, points, valid, S, thresh, row_block):
     N = dist.shape[0]
 
@@ -857,7 +857,7 @@ def _dense_suppression_2d(dist, points, valid, S, thresh, row_block):
 # single-call device greedy NMS (3D)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
                           thresh, B, A_max, P, S):
     """3D analog of _greedy_nms_2d_device: bounds from sphere lenses + bbox,
@@ -966,7 +966,7 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
 # banded device greedy NMS (3D)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
 def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
                           established, thresh, Q, NB, A_max, P, S):
     """3D analog of `_greedy_nms_2d_banded`: candidates pre-sorted along one
@@ -1238,7 +1238,7 @@ def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
 # 3D
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(jax.jit, static_argnums=(6,))
 def _overlap_block_3d(dist_r, points_r, dist_c, points_c, ray_dirs, faces, S, thresh):
     """Overlap for row vs column polyhedra blocks. Intersection counted on
     the integer voxel lattice inside the bbox intersection (stride >= 1),
