@@ -56,14 +56,14 @@ def dist_to_coord(dist, points, scale_dist=(1, 1)):
     return coord
 
 
-def _use_native_raster2d(shape, scale_dist):
+def _use_native_raster(env_var, scale_dist=(1, 1)):
     """Host-native rasterization wins when the device is behind a slow
     device->host link (the full label image must come back either way):
-    render the few surviving polygons on the host instead of downloading
-    H*W. Auto mode probes the measured D2H bandwidth once; overridable via
-    STARDIST_TPU_RASTER2D=native|device|auto."""
+    render the few surviving polygons/polyhedra on the host instead of
+    downloading the image. Auto mode probes the measured D2H bandwidth
+    once; overridable via ``env_var`` = native|device|auto."""
     import os
-    mode = os.environ.get("STARDIST_TPU_RASTER2D", "auto")
+    mode = os.environ.get(env_var, "auto")
     if mode == "device":
         return False
     if tuple(scale_dist) != (1, 1):
@@ -82,6 +82,10 @@ def _use_native_raster2d(shape, scale_dist):
         return True
     except Exception:
         return False
+
+
+def _use_native_raster2d(shape, scale_dist):
+    return _use_native_raster("STARDIST_TPU_RASTER2D", scale_dist)
 
 
 def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):

@@ -30,26 +30,10 @@ def star_dist3D(lbl, rays, grid=(1, 1, 1), mode="jax"):
 
 def _use_native_raster3d():
     """Host-native rasterization when the device sits behind a slow
-    device->host link (see geom2d._use_native_raster2d). Overridable via
-    STARDIST_TPU_RASTER3D=native|device|auto."""
-    import os
-    mode = os.environ.get("STARDIST_TPU_RASTER3D", "auto")
-    if mode == "device":
-        return False
-    if mode != "native":
-        import jax
-        if jax.default_backend() != "tpu":
-            return False
-        from ..core.linkspeed import d2h_bandwidth_bytes_per_s
-        bw = d2h_bandwidth_bytes_per_s()
-        if bw is not None and bw > 200e6:
-            return False  # fast link: on-device rasterize + download wins
-    try:
-        from ..lib import get_lib
-        get_lib()
-        return True
-    except Exception:
-        return False
+    device->host link (shared heuristic: geom2d._use_native_raster).
+    Overridable via STARDIST_TPU_RASTER3D=native|device|auto."""
+    from .geom2d import _use_native_raster
+    return _use_native_raster("STARDIST_TPU_RASTER3D")
 
 
 def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,

@@ -93,6 +93,34 @@ class StarDistDataBase(RollingSequence):
     foreground-biased patch center sampling with per-image caches, grid
     slicing, augmenter hook."""
 
+    @property
+    def supports_raw(self):
+        """True when the fused device target generation can replace the
+        classic host path for this data configuration."""
+        return (self.n_classes is None
+                and not getattr(self, "shape_completion", False))
+
+    def raw_item(self, i):
+        """Raw batch for the fused training step: patches + label image +
+        per-patch unique positive labels (padded; capacity bucketed so the
+        jitted step compiles for a few sizes only). Requires the subclass's
+        ``_sample_batch``."""
+        _, X, Y = self._sample_batch(i)
+        X = np.stack(X)
+        if X.ndim == len(self.patch_size) + 1:  # no channel axis
+            X = np.expand_dims(X, -1)
+        Yi = np.stack([y.astype(np.int32, copy=False) for y in Y])
+        labs = [np.unique(y[y > 0]) for y in Yi]
+        cap = 8
+        need = max([1] + [len(l) for l in labs])
+        while cap < need:
+            cap *= 2
+        labels = np.zeros((len(labs), cap), np.int32)
+        for j, l in enumerate(labs):
+            labels[j, :len(l)] = l
+        return {"x": X.astype(np.float32, copy=False), "y": Yi,
+                "labels": labels}
+
     def __init__(self, X, Y, n_rays, grid, batch_size, patch_size, length,
                  n_classes=None, classes=None, use_gpu=False, sample_ind_cache=True,
                  maxfilter_patch_size=None, augmenter=None, foreground_prob=0,
@@ -983,7 +1011,6 @@ class StarDistBase:
                     bs.append((blo, max(bhi if bhi is not None and bhi > 0 else 0,
                                         sg - ub_grid)))
                 b_eff = tuple(bs)
-                filtered = True
             res = self._sparse_extract_np(x, prob_thresh, b_eff,
                                           max_candidates=max_candidates,
                                           device_dist=device_dist)
@@ -1070,6 +1097,7 @@ class StarDistBase:
 
         yield "predict"
         res = None
+        extract_dmax = None
         self._last_extract_dmax = None
         if sparse:
             for res in self._predict_sparse_generator(
@@ -1079,6 +1107,10 @@ class StarDistBase:
                     **predict_kwargs):
                 if res is None:
                     yield "tile"
+            # capture before any further yield: interleaved generators on the
+            # same model must not see each other's value
+            extract_dmax = getattr(self, "_last_extract_dmax", None)
+            self._last_extract_dmax = None
         else:
             for res in self._predict_generator(
                     img, axes=axes, normalizer=normalizer, n_tiles=n_tiles,
@@ -1094,10 +1126,10 @@ class StarDistBase:
             prob_class = None
 
         yield "nms"
-        if sparse and getattr(self, "_last_extract_dmax", None) is not None:
+        if sparse and extract_dmax is not None:
             # known max candidate dist from the device extraction: saves the
             # banded NMS a device round trip for dist.max()
-            nms_kwargs.setdefault("dist_max", self._last_extract_dmax)
+            nms_kwargs.setdefault("dist_max", extract_dmax)
         res_instances = self._instances_from_prediction(
             _shape_inst, prob, dist, points=points, prob_class=prob_class,
             prob_thresh=prob_thresh, nms_thresh=nms_thresh,

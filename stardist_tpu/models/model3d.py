@@ -57,27 +57,6 @@ class StarDistData3D(StarDistDataBase):
         X, Y = tuple(zip(*tuple(self.augmenter(_x, _y) for _x, _y in zip(X, Y))))
         return idx, X, Y
 
-    @property
-    def supports_raw(self):
-        return self.n_classes is None
-
-    def raw_item(self, i):
-        """Raw batch for the fused training step (see model2d.raw_item)."""
-        _, X, Y = self._sample_batch(i)
-        X = np.stack(X)
-        if X.ndim == 4:
-            X = np.expand_dims(X, -1)
-        Yi = np.stack([y.astype(np.int32, copy=False) for y in Y])
-        labs = [np.unique(y[y > 0]) for y in Yi]
-        cap = 8
-        need = max([1] + [len(l) for l in labs])
-        while cap < need:
-            cap *= 2
-        labels = np.zeros((len(labs), cap), np.int32)
-        for j, l in enumerate(labs):
-            labels[j, :len(l)] = l
-        return {"x": X.astype(np.float32, copy=False), "y": Yi, "labels": labels}
-
     def __getitem__(self, i):
         idx, X, Y = self._sample_batch(i)
 

@@ -496,16 +496,22 @@ def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
     return ~keep, max_amb, max_pairs
 
 
-def _band_width_blocks(y_sorted, Q, T):
+def _band_width_blocks(y_sorted, Q, T, n_real=None):
     """Smallest NB such that, for every Q-block of y-sorted candidates, all
-    candidates within |dy| < T of the block live within +-NB blocks."""
-    n = len(y_sorted)
-    n_blocks = n // Q
+    candidates within |dy| < T of the block live within +-NB blocks.
+
+    ``n_real``: number of real (non-pad) candidates at the front of
+    ``y_sorted``. Pad slots (sentinel y values) neither need coverage nor
+    count as neighbors — including them would inflate NB by the number of
+    pad blocks (they all share one y value)."""
+    n = len(y_sorted) if n_real is None else int(n_real)
+    ys = y_sorted[:n]
+    n_blocks = (n + Q - 1) // Q
     nb = 1
     for b in range(n_blocks):
         i0, i1 = b * Q, min((b + 1) * Q, n) - 1
-        lo_idx = int(np.searchsorted(y_sorted, y_sorted[i0] - T, side="left"))
-        hi_idx = int(np.searchsorted(y_sorted, y_sorted[i1] + T, side="right")) - 1
+        lo_idx = int(np.searchsorted(ys, ys[i0] - T, side="left"))
+        hi_idx = int(np.searchsorted(ys, ys[i1] + T, side="right")) - 1
         nb = max(nb, b - lo_idx // Q, hi_idx // Q - b)
     return nb
 
@@ -522,12 +528,14 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
     Npad = _bucket(N, minimum=2 * Q)
     if rank is None:
         rank = np.arange(N, dtype=np.int32)
-    order = np.argsort(points[:, 0], kind="stable")
+    # band along the spatial axis with the largest extent (narrowest band)
+    axis = int(np.argmax(points.max(0) - points.min(0)))
+    order = np.argsort(points[:, axis], kind="stable")
     d = _pad(dist[order], Npad, value=1e-3)
-    p = _pad(points[order], Npad, value=1e9)      # +inf-ish keeps y sorted
+    p = _pad(points[order], Npad, value=1e9)      # +inf-ish keeps sort order
     rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
     T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
-    NB = _band_width_blocks(p[:, 0], Q, T)
+    NB = _band_width_blocks(p[:, axis], Q, T, n_real=N)
     n_blocks = Npad // Q
     W = (2 * NB + 1) * Q
     if W >= Npad or Npad * W * 2 > band_bytes_cap:
@@ -1127,7 +1135,7 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
     p = _pad(points[order], Npad, value=1e9)
     rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
     T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
-    NB = _band_width_blocks(p[:, axis], Q, T)
+    NB = _band_width_blocks(p[:, axis], Q, T, n_real=N)
     W = (2 * NB + 1) * Q
     if W >= Npad or Npad * W * 2 > band_bytes_cap:
         return None

@@ -107,9 +107,10 @@ def test_banded_nms_uniform_field_equals_blocked():
     assert np.array_equal(a, b)
 
 
-def test_banded_nms_vertical_concentration_falls_back():
-    # all candidates in one horizontal strip: the band covers everything and
-    # the banded driver must decline (returns None) instead of mis-sizing
+def test_banded_nms_horizontal_strip_uses_wide_axis():
+    # all candidates in one horizontal strip: banding along y would cover
+    # everything, but the driver picks the larger-extent axis (x) and the
+    # banded kernel still applies
     from stardist_tpu.ops.nms import _nms_polygons_device_banded
 
     rng = np.random.RandomState(3)
@@ -117,12 +118,50 @@ def test_banded_nms_vertical_concentration_falls_back():
     dist = rng.uniform(5, 10, (n, 16)).astype(np.float32)
     points = np.stack([rng.uniform(100, 104, n),
                        rng.uniform(0, 5000, n)], axis=1).astype(np.float32)
-    out = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=128)
+    scores = np.sort(rng.uniform(0, 1, n))[::-1].copy()
+    a = nms_polygons(dist, points, scores=scores, thresh=0.4, device_nms=False)
+    b = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=128)
+    assert b is not None
+    assert np.array_equal(a, b)
+
+
+def test_banded_nms_tight_cluster_falls_back():
+    # candidates concentrated in a region smaller than the interaction
+    # radius in BOTH axes: the band covers everything and the banded driver
+    # must decline (returns None) instead of mis-sizing
+    from stardist_tpu.ops.nms import _nms_polygons_device_banded
+
+    rng = np.random.RandomState(4)
+    n = 512
+    dist = rng.uniform(5, 10, (n, 16)).astype(np.float32)
+    points = rng.uniform(100, 104, (n, 2)).astype(np.float32)
+    out = _nms_polygons_device_banded(dist, points, 0.9, samples=16, Q=128)
     assert out is None
     # and the public driver still returns correct results via fallback
     scores = np.sort(rng.uniform(0, 1, n))[::-1].copy()
+    a = nms_polygons(dist, points, scores=scores, thresh=0.9, device_nms=False)
+    b = _nms_polygons_device(dist, points, 0.9)
+    assert np.array_equal(a, b)
+
+
+def test_banded_nms_bucket_padding_does_not_inflate_band():
+    # regression: the band width used to be computed over the PADDED array,
+    # whose identical sentinel coordinates inflated NB by the number of pad
+    # blocks — N just above a bucket boundary then lost the banded path
+    from stardist_tpu.ops.nms import (_bucket, _pad, _band_width_blocks,
+                                      _nms_polygons_device_banded)
+
+    dist, points, scores = _clustered_candidates(2100, seed=21, field=2000)
+    Q = 128
+    Npad = _bucket(2100, minimum=2 * Q)      # 4096 -> ~15 pad blocks
+    order = np.argsort(points[:, 0], kind="stable")
+    p = _pad(points[order], Npad, value=1e9)
+    T = 2.0 * float(dist.max()) + 1.0
+    nb = _band_width_blocks(p[:, 0], Q, T, n_real=2100)
+    assert nb <= 4, nb                        # real band is narrow
     a = nms_polygons(dist, points, scores=scores, thresh=0.4, device_nms=False)
-    b = _nms_polygons_device(dist, points, 0.4)
+    b = _nms_polygons_device_banded(dist, points, 0.4, samples=16, Q=Q)
+    assert b is not None
     assert np.array_equal(a, b)
 
 
