@@ -94,20 +94,6 @@ def _lens_area_ub(r1, r2, d):
     return jnp.minimum(w * h, np.pi * rmin * rmin)
 
 
-def _lens_area_2d(r1, r2, d):
-    """Intersection area of two discs."""
-    d = jnp.maximum(d, 1e-6)
-    rmin = jnp.minimum(r1, r2)
-    full = np.pi * rmin ** 2
-    c1 = jnp.clip((d ** 2 + r1 ** 2 - r2 ** 2) / (2 * d * jnp.maximum(r1, 1e-6)), -1, 1)
-    c2 = jnp.clip((d ** 2 + r2 ** 2 - r1 ** 2) / (2 * d * jnp.maximum(r2, 1e-6)), -1, 1)
-    t = (-d + r1 + r2) * (d + r1 - r2) * (d - r1 + r2) * (d + r1 + r2)
-    lens = (r1 ** 2 * jnp.arccos(c1) + r2 ** 2 * jnp.arccos(c2)
-            - 0.5 * jnp.sqrt(jnp.maximum(t, 0.0)))
-    out = jnp.where(d >= r1 + r2, 0.0, jnp.where(d <= jnp.abs(r1 - r2), full, lens))
-    return out
-
-
 def _lens_volume_3d(r1, r2, d):
     """Intersection volume of two balls."""
     d = jnp.maximum(d, 1e-6)

@@ -12,6 +12,7 @@ the edge (v_k, v_{k+1}). This is O(1) per point — no loop over vertices.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,7 +72,11 @@ def points_in_polygons(dist, points, query):
     V = jnp.stack([d0 * s0, d0 * c0, d1 * s1, d1 * c1], axis=-1)
 
     onehot = (k[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(dist.dtype)
+    # HIGHEST precision: default TPU matmul truncates operands to bfloat16,
+    # which would round the vertex table (the selecting-by-sum exactness
+    # argument requires full-precision operands)
     picked = jnp.einsum("...sr,...rf->...sf", onehot, V,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)      # (..., S, 4)
     v0r, v0c = picked[..., 0], picked[..., 1]
     er = picked[..., 2] - v0r

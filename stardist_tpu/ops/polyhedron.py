@@ -13,6 +13,7 @@ alpha+beta+gamma <= 1.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,7 +76,10 @@ def points_in_polyhedra(inv, valid, points, query, eps=1e-7, face_block=8):
         inv_b = inv[..., f0:f1, :, :]
         valid_b = valid[..., f0:f1]
         # bary (..., S, fb, 3) = inv_b (..., fb, 3, 3) @ u (..., S, 3)
-        bary = jnp.einsum("...fij,...sj->...sfi", inv_b, u)
+        # HIGHEST precision: default TPU matmul truncates to bfloat16, whose
+        # ~1e-3 relative error would swamp the eps=1e-7 inside tolerance
+        bary = jnp.einsum("...fij,...sj->...sfi", inv_b, u,
+                          precision=jax.lax.Precision.HIGHEST)
         ge0 = jnp.all(bary >= -eps, axis=-1)
         le1 = jnp.sum(bary, axis=-1) <= 1 + eps
         ok = ge0 & le1 & valid_b[..., None, :]

@@ -128,7 +128,7 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
         out_u16 = int(lut_np.min()) >= 0 and int(lut_np.max()) < 2 ** 16 - 1
     else:
         lut = None
-        out_u16 = N < 2 ** 16 - 1
+        out_u16 = int(order_values.max(initial=0)) < 2 ** 16 - 1
     img, cnt = _raster2d_impl(
         _pad_to(dist, Np),
         jnp.asarray(_pad_to(points, Np)),
@@ -234,7 +234,7 @@ def rasterize_polyhedra(dist, points, rays, shape, order_values, window=None,
         out_u16 = int(lut_np.min()) >= 0 and int(lut_np.max()) < 2 ** 16 - 1
     else:
         lut = None
-        out_u16 = N < 2 ** 16 - 1
+        out_u16 = int(order_values.max(initial=0)) < 2 ** 16 - 1
     img, cnt = _raster3d_impl(
         jnp.asarray(_pad_to(dist, Np)),
         jnp.asarray(_pad_to(points, Np)),

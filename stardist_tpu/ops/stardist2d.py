@@ -88,8 +88,12 @@ def _star_dist2d_impl(lbl, n_rays, grid, max_dist):
         dist = jnp.where(newly, d, dist)
         return t + 1, alive & same, dist
 
-    _, _, dist = jax.lax.while_loop(cond, body, (jnp.int32(1), alive0, dist0))
-    return dist
+    _, alive, dist = jax.lax.while_loop(cond, body, (jnp.int32(1), alive0, dist0))
+    # rays still alive at the step cap (object larger than max_dist) report
+    # the documented cap, not 0; terminations past the sentinel ring (shifted
+    # slices clamp there) are clamped to the same cap
+    cap = jnp.float32(max_dist)
+    return jnp.minimum(jnp.where(alive, cap, dist), cap)
 
 
 _MAX_DIST_CAP = 800  # default cap for very large images (documented)

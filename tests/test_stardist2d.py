@@ -72,3 +72,22 @@ def test_reconstruction_accuracy():
     img2 = polygons_to_label(disti, points, shape=img.shape)
     acc = matching(img.astype(np.int32), img2).accuracy
     assert acc > 0.9
+
+
+def test_star_dist_max_dist_cap():
+    # objects larger than max_dist report the cap, not 0 (regression: rays
+    # alive at the step cap fell through with distance 0)
+    from stardist_tpu.ops.stardist2d import star_dist2d_jax
+    lbl = np.ones((64, 64), np.int32)  # one object covering everything
+    d = star_dist2d_jax(lbl, n_rays=8, max_dist=10)
+    center = d[32, 32]
+    assert np.all(center >= 9.0) and np.all(center <= 10.0), center
+
+
+def test_star_dist3d_max_dist_cap():
+    from stardist_tpu.ops.stardist3d import star_dist3d_jax
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+    lbl = np.ones((24, 24, 24), np.int32)
+    d = star_dist3d_jax(lbl, Rays_GoldenSpiral(8), max_dist=6)
+    center = d[12, 12, 12]
+    assert np.all(center >= 5.0) and np.all(center <= 6.0), center
