@@ -62,6 +62,61 @@ def _pad(x, n, value=0.0):
     return jnp.pad(x, widths, constant_values=value)  # device array stays put
 
 
+def _compact_pairs(ambiguous, A_max, P):
+    """Two-level top_k compaction of an ambiguous-pair mask (Q, W):
+    per-row top_k to A_max column slots, then block-wide top_k of the
+    flattened slots to P pair slots, so downstream exact-overlap work runs
+    on ~actual-pair-count slots instead of Q*W. Returns
+    (pr row-in-block, pc column, pair_valid, max_amb, n_pairs) — max_amb >
+    A_max or n_pairs > P signal compaction overflow (callers retry larger).
+    Sort-based compaction: ~15x faster than a vmapped nonzero on TPU."""
+    Q, W = ambiguous.shape
+    col_pos = jnp.arange(W, dtype=jnp.int32)
+    max_amb = jnp.max(jnp.sum(ambiguous, axis=1))
+    keys = jnp.where(ambiguous, W - col_pos[None, :], 0)
+    vals, amb_idx = jax.lax.top_k(keys, A_max)                   # (Q, A)
+    amb_ok = vals > 0
+    flat_ok = amb_ok.reshape(Q * A_max)
+    n_pairs = jnp.sum(flat_ok)
+    flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
+    keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
+    vals2, sel = jax.lax.top_k(keys2, P)
+    pair_valid = vals2 > 0
+    sel = jnp.where(pair_valid, sel, 0)
+    return sel // A_max, amb_idx.reshape(Q * A_max)[sel], pair_valid, max_amb, n_pairs
+
+
+def _compaction_retry(call, A0, P0, amb_cap, col_capacity, pair_cap_of,
+                      a_min, p_min, verbose, tag):
+    """Run a fixed-capacity NMS kernel, growing the ambiguous-column (A) and
+    pair (P) slot capacities on overflow (bucketed so compile sizes repeat).
+    Returns the kernel result, or None when max_amb exceeds ``amb_cap``
+    (callers fall back to a host path)."""
+    A, P = A0, P0
+    while True:
+        A_p = min(_bucket(A, minimum=a_min), col_capacity)
+        P_p = min(_bucket(P, minimum=p_min), pair_cap_of(A_p))
+        suppressed, max_amb, max_pairs = call(A_p, P_p)
+        max_amb = int(max_amb)
+        max_pairs = int(max_pairs)
+        amb_over = max_amb > A_p and A_p < col_capacity
+        pairs_over = max_pairs > P_p and P_p < pair_cap_of(A_p)
+        if not amb_over and not pairs_over:
+            return suppressed
+        if max_amb > amb_cap:
+            if verbose:
+                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap} "
+                      f"({tag}); falling back", flush=True)
+            return None
+        if verbose:
+            print(f"NMS: {tag} compaction overflow (amb {max_amb}/{A_p}, "
+                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
+        if amb_over:
+            A = max_amb
+        if pairs_over:
+            P = max_pairs
+
+
 # ---------------------------------------------------------------------------
 # analytic bounds (cheap pre-pass; reference cascade stages 1-2,
 # stardist3d_impl.cpp:1209-1330)
@@ -274,26 +329,9 @@ def _greedy_nms_2d_device(dist, points, valid, established, thresh, B, A_max,
         lb = _lens_area_lb(rin_r[:, None], rin[None], dc) / denom
         sup_mat = (lb > thresh) & pair_ok
         ambiguous = ~sup_mat & ~(ub <= thresh) & pair_ok
-        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
-
-        # ---- level-1 compaction: per-row top_k (sort-based; ~15x faster
-        # than a vmapped nonzero on TPU). Ambiguous columns get key N-col.
-        keys = jnp.where(ambiguous, N - col_ids[None, :].astype(jnp.int32), 0)
-        vals, amb_idx = jax.lax.top_k(keys, A_max)               # (B, A)
-        amb_ok = vals > 0
-        idx_c = amb_idx                                          # positions = col ids
-
-        # ---- level-2 compaction: flatten the (B, A) slots to P pair slots
-        # so the exact overlap runs on ~actual ambiguous pairs, not B*A
-        flat_ok = amb_ok.reshape(B * A_max)
-        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
-        flat_pos = jnp.arange(B * A_max, dtype=jnp.int32)
-        keys2 = jnp.where(flat_ok, B * A_max - flat_pos, 0)
-        vals2, sel = jax.lax.top_k(keys2, P)                     # (P,)
-        pair_valid = vals2 > 0
-        sel = jnp.where(pair_valid, sel, 0)
-        pr = sel // A_max                                        # row in block
-        pc = idx_c.reshape(B * A_max)[sel]                       # global col id
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        max_amb = jnp.maximum(max_amb, amb_b)
+        max_pairs = jnp.maximum(max_pairs, pairs_b)
 
         # ---- exact sampled overlap on the P compacted pairs ----
         d_rp, p_rp = d_r[pr], p_r[pr]
@@ -401,23 +439,9 @@ def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
         lb = _lens_area_lb(rin_r[:, None], rin_c[None], dc) / denom
         sup_blk = (lb > thresh) & pair_ok
         ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
-        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
-
-        # ---- level-1 compaction: per-row top_k of ambiguous columns ----
-        keys = jnp.where(ambiguous, W - col_pos[None, :], 0)
-        vals, amb_idx = jax.lax.top_k(keys, A_max)               # (Q, A)
-        amb_ok = vals > 0
-
-        # ---- level-2 compaction: flatten (Q, A) slots to P pair slots ----
-        flat_ok = amb_ok.reshape(Q * A_max)
-        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
-        flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
-        keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
-        vals2, sel = jax.lax.top_k(keys2, P)
-        pair_valid = vals2 > 0
-        sel = jnp.where(pair_valid, sel, 0)
-        pr = sel // A_max                                        # row in block
-        pc = amb_idx.reshape(Q * A_max)[sel]                     # col in window
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        max_amb = jnp.maximum(max_amb, amb_b)
+        max_pairs = jnp.maximum(max_pairs, pairs_b)
 
         # ---- exact sampled overlap on the P compacted pairs ----
         # pair-row fetch as one-hot f32 matmuls (MXU) instead of gathers —
@@ -528,32 +552,14 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
         return None
     valid = jnp.arange(Npad) < N
     dj, pj, rj = jnp.asarray(d), jnp.asarray(p), jnp.asarray(rk)
-    A = amb_max
-    P = pair_slots
-    while True:
-        A_p = min(_bucket(A, minimum=64), W)
-        P_p = min(_bucket(P, minimum=1024), Q * A_p)
-        suppressed, max_amb, max_pairs = jax.device_get(_greedy_nms_2d_banded(
+    suppressed = _compaction_retry(
+        lambda A_p, P_p: jax.device_get(_greedy_nms_2d_banded(
             dj, pj, rj, valid, jnp.int32(established), float(thresh),
-            Q, NB, A_p, P_p, samples))
-        max_amb = int(max_amb)
-        max_pairs = int(max_pairs)
-        amb_over = max_amb > A_p and A_p < W
-        pairs_over = max_pairs > P_p and P_p < Q * A_p
-        if not amb_over and not pairs_over:
-            break
-        if max_amb > amb_cap:
-            if verbose:
-                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap} "
-                      "(banded); falling back", flush=True)
-            return None
-        if verbose:
-            print(f"NMS: banded compaction overflow (amb {max_amb}/{A_p}, "
-                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
-        if amb_over:
-            A = max_amb
-        if pairs_over:
-            P = max_pairs
+            Q, NB, A_p, P_p, samples)),
+        amb_max, pair_slots, amb_cap, W, lambda A_p: Q * A_p,
+        64, 1024, verbose, "banded")
+    if suppressed is None:
+        return None
     keep_sorted = ~np.asarray(suppressed)[:N]
     keep = np.empty(N, bool)
     keep[order] = keep_sorted
@@ -570,39 +576,21 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
     p = jnp.asarray(_pad(points, Np, value=-1e9))
     valid = jnp.arange(Np) < N
-    A = amb_max
-    P = pair_slots
-    while True:
-        A_p = min(_bucket(A, minimum=64), Np)
-        B = max(8, min(row_block, Np))
-        while Np % B != 0:
-            B //= 2
-        P_p = min(_bucket(P, minimum=1024), B * A_p)
-        suppressed, max_amb, max_pairs = _greedy_nms_2d_device(
+    B = max(8, min(row_block, Np))
+    while Np % B != 0:
+        B //= 2
+    suppressed = _compaction_retry(
+        lambda A_p, P_p: jax.device_get(_greedy_nms_2d_device(
             d, p, valid, jnp.int32(established), float(thresh),
-            B, A_p, P_p, samples)
-        max_amb = int(max_amb)
-        max_pairs = int(max_pairs)
-        amb_over = max_amb > A_p and A_p < Np
-        pairs_over = max_pairs > P_p and P_p < B * A_p
-        if not amb_over and not pairs_over:
-            break
-        if max_amb > amb_cap:
-            if verbose:
-                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap}; "
-                      "falling back to host blocked path", flush=True)
-            return _blocked_greedy(
-                lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
-                dist, points, thresh, row_block=128, verbose=verbose,
-                bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
-            )
-        if verbose:
-            print(f"NMS: compaction overflow (amb {max_amb}/{A_p}, "
-                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
-        if amb_over:
-            A = max_amb
-        if pairs_over:
-            P = max_pairs
+            B, A_p, P_p, samples)),
+        amb_max, pair_slots, amb_cap, Np, lambda A_p: B * A_p,
+        64, 1024, verbose, "single")
+    if suppressed is None:
+        return _blocked_greedy(
+            lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
+            dist, points, thresh, row_block=128, verbose=verbose,
+            bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
+        )
     return ~np.asarray(suppressed)[:N]
 
 
@@ -897,24 +885,9 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
         lb = _lens_volume_3d(rin_r[:, None], rin[None], dcn) / denom
         sup_mat = (lb > thresh) & pair_ok
         ambiguous = ~sup_mat & ~(ub <= thresh) & pair_ok
-        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
-
-        # level-1: per-row top_k of ambiguous columns
-        keys = jnp.where(ambiguous, N - col_ids[None, :].astype(jnp.int32), 0)
-        vals, amb_idx = jax.lax.top_k(keys, A_max)
-        amb_ok = vals > 0
-        idx_c = amb_idx
-
-        # level-2: flatten (B, A) slots to P pair slots
-        flat_ok = amb_ok.reshape(B * A_max)
-        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
-        flat_pos = jnp.arange(B * A_max, dtype=jnp.int32)
-        keys2 = jnp.where(flat_ok, B * A_max - flat_pos, 0)
-        vals2, sel = jax.lax.top_k(keys2, P)
-        pair_valid = vals2 > 0
-        sel = jnp.where(pair_valid, sel, 0)
-        pr = sel // A_max
-        pc = idx_c.reshape(B * A_max)[sel]
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        max_amb = jnp.maximum(max_amb, amb_b)
+        max_pairs = jnp.maximum(max_pairs, pairs_b)
 
         # exact lattice-counted overlap on the P compacted pairs
         p_rp = p_r[pr]
@@ -995,7 +968,6 @@ def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
     rank_p = padw(rank, jnp.int32(2 ** 30))
 
     ar = jnp.arange(S, dtype=jnp.float32)
-    col_pos = jnp.arange(W, dtype=jnp.int32)
 
     def block_fill(b, carry):
         sup_acc, max_amb, max_pairs = carry
@@ -1026,21 +998,9 @@ def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
         lb = _lens_volume_3d(rin_r[:, None], rin_c[None], dcn) / denom
         sup_blk = (lb > thresh) & pair_ok
         ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
-        max_amb = jnp.maximum(max_amb, jnp.max(jnp.sum(ambiguous, axis=1)))
-
-        keys = jnp.where(ambiguous, W - col_pos[None, :], 0)
-        vals, amb_idx = jax.lax.top_k(keys, A_max)
-        amb_ok = vals > 0
-
-        flat_ok = amb_ok.reshape(Q * A_max)
-        max_pairs = jnp.maximum(max_pairs, jnp.sum(flat_ok))
-        flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
-        keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
-        vals2, sel = jax.lax.top_k(keys2, P)
-        pair_valid = vals2 > 0
-        sel = jnp.where(pair_valid, sel, 0)
-        pr = sel // A_max
-        pc = amb_idx.reshape(Q * A_max)[sel]
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        max_amb = jnp.maximum(max_amb, amb_b)
+        max_pairs = jnp.maximum(max_pairs, pairs_b)
 
         # exact lattice-counted overlap on the P compacted pairs
         p_rp = p_r[pr]
@@ -1129,32 +1089,14 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
     dj, pj, rj = jnp.asarray(d), jnp.asarray(p), jnp.asarray(rk)
-    A = amb_max
-    P = pair_slots
-    while True:
-        A_p = min(_bucket(A, minimum=32), W)
-        P_p = min(_bucket(P, minimum=512), Q * A_p)
-        suppressed, max_amb, max_pairs = jax.device_get(_greedy_nms_3d_banded(
+    suppressed = _compaction_retry(
+        lambda A_p, P_p: jax.device_get(_greedy_nms_3d_banded(
             dj, pj, ray_dirs, faces, rj, valid, jnp.int32(established),
-            float(thresh), Q, NB, A_p, P_p, samples))
-        max_amb = int(max_amb)
-        max_pairs = int(max_pairs)
-        amb_over = max_amb > A_p and A_p < W
-        pairs_over = max_pairs > P_p and P_p < Q * A_p
-        if not amb_over and not pairs_over:
-            break
-        if max_amb > amb_cap:
-            if verbose:
-                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap} "
-                      "(banded 3D); falling back", flush=True)
-            return None
-        if verbose:
-            print(f"NMS: banded 3D compaction overflow (amb {max_amb}/{A_p}, "
-                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
-        if amb_over:
-            A = max_amb
-        if pairs_over:
-            P = max_pairs
+            float(thresh), Q, NB, A_p, P_p, samples)),
+        amb_max, pair_slots, amb_cap, W, lambda A_p: Q * A_p,
+        32, 512, verbose, "banded 3D")
+    if suppressed is None:
+        return None
     keep_sorted = ~np.asarray(suppressed)[:N]
     keep = np.empty(N, bool)
     keep[order] = keep_sorted
@@ -1189,42 +1131,24 @@ def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
     ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
     faces = jnp.asarray(np.asarray(rays.faces, np.int32))
     valid = jnp.arange(Np) < N
-    A = amb_max
-    P = pair_slots
-    while True:
-        A_p = min(_bucket(A, minimum=32), Np)
-        B = max(4, min(row_block, Np))
-        while Np % B != 0:
-            B //= 2
-        P_p = min(_bucket(P, minimum=512), B * A_p)
-        suppressed, max_amb, max_pairs = _greedy_nms_3d_device(
+    B = max(4, min(row_block, Np))
+    while Np % B != 0:
+        B //= 2
+    suppressed = _compaction_retry(
+        lambda A_p, P_p: jax.device_get(_greedy_nms_3d_device(
             d, p, ray_dirs, faces, valid, jnp.int32(established),
-            float(thresh), B, A_p, P_p, samples)
-        max_amb = int(max_amb)
-        max_pairs = int(max_pairs)
-        amb_over = max_amb > A_p and A_p < Np
-        pairs_over = max_pairs > P_p and P_p < B * A_p
-        if not amb_over and not pairs_over:
-            break
-        if max_amb > amb_cap:
-            if verbose:
-                print(f"NMS: ambiguous columns {max_amb} exceed cap {amb_cap}; "
-                      "falling back to host blocked path", flush=True)
-            overlap_fn = lambda dr, pr, dc, pc: _overlap_block_3d(
-                dr, pr, dc, pc, ray_dirs, faces, max(samples, 12), thresh)
-            return _blocked_greedy(
-                overlap_fn, dist, points, thresh, row_block=8, col_block=128,
-                verbose=verbose,
-                bounds_fn=lambda dr, pr, dc, pc: _bounds_block_3d(
-                    dr, pr, dc, pc, ray_dirs, faces, thresh),
-            )
-        if verbose:
-            print(f"NMS: compaction overflow (amb {max_amb}/{A_p}, "
-                  f"pairs {max_pairs}/{P_p}); retrying", flush=True)
-        if amb_over:
-            A = max_amb
-        if pairs_over:
-            P = max_pairs
+            float(thresh), B, A_p, P_p, samples)),
+        amb_max, pair_slots, amb_cap, Np, lambda A_p: B * A_p,
+        32, 512, verbose, "single 3D")
+    if suppressed is None:
+        overlap_fn = lambda dr, pr, dc, pc: _overlap_block_3d(
+            dr, pr, dc, pc, ray_dirs, faces, max(samples, 12), thresh)
+        return _blocked_greedy(
+            overlap_fn, dist, points, thresh, row_block=8, col_block=128,
+            verbose=verbose,
+            bounds_fn=lambda dr, pr, dc, pc: _bounds_block_3d(
+                dr, pr, dc, pc, ray_dirs, faces, thresh),
+        )
     return ~np.asarray(suppressed)[:N]
 
 
