@@ -287,6 +287,12 @@ def _make_optimizer(lr):
 # ---------------------------------------------------------------------------
 
 class StarDistBase:
+
+    # initial top-K bucket for sparse candidate extraction; grows in
+    # power-of-two steps when an image has more above-threshold pixels
+    # (overridable per instance, e.g. tiny values in tests)
+    _extract_k0 = 1 << 17
+
     def __init__(self, config, name=None, basedir="."):
         self.config = config
         self.basedir = Path(basedir) if basedir is not None else None
@@ -772,7 +778,7 @@ class StarDistBase:
 
         return extract
 
-    def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=2 ** 17,
+    def _sparse_extract_np(self, x, prob_thresh, b, max_candidates=None,
                            transfer_dtype=None, device_dist=False):
         """Run the on-device sparse extraction; returns
         (prob, dist, points[, prob_class]) of valid candidates (points in
@@ -782,24 +788,41 @@ class StarDistBase:
         the largest candidate payload — are returned as a device (jax) array
         instead of numpy, so the downstream device NMS consumes them without
         a host round trip (top_k ordering = descending prob, which is the
-        NMS sort order)."""
+        NMS sort order).
+
+        ``max_candidates=None`` (default) means *every* above-threshold pixel
+        becomes a candidate, like the reference's host gather
+        (stardist/nms.py:135-183): extraction starts with a 2^17-wide top-K
+        and, if the on-device count exceeds it, re-runs with K grown to the
+        next power of two (bucketed so retries hit the jit cache). A numeric
+        ``max_candidates`` restores the hard cap (with a truncation warning).
+        """
         n_dim = self.config.n_dim
         if np.isscalar(b) or b is None:
             b = ((b, b) if b is not None else (-1, -1),) * n_dim
         b_key = tuple((int(lo), int(hi)) for lo, hi in b)
         out_size = int(np.prod([s // g for s, g in
                                 zip(x.shape[:-1], self.config.grid)]))
-        K = int(min(out_size, max_candidates))
+        cap = out_size if max_candidates is None else int(min(out_size, max_candidates))
+        K = min(self._extract_k0, cap)
         multiclass = self._is_multiclass()
-        fn = self._sparse_extract_fn(K, b_key, multiclass)
         transfer_dtype = getattr(self, "transfer_dtype", None) if transfer_dtype is None else transfer_dtype
         x_up = x[np.newaxis].astype(transfer_dtype) if transfer_dtype is not None else x[np.newaxis]
-        outs = list(fn(self.params, self._extra_vars, jnp.asarray(x_up),
-                       jnp.float32(prob_thresh)))
-        d_dev = outs[1]
-        if device_dist:
-            outs[1] = None             # keep dist on device: no host download
-        outs = jax.device_get(outs)    # one batched D2H transfer
+        x_dev = jnp.asarray(x_up)
+        while True:
+            fn = self._sparse_extract_fn(K, b_key, multiclass)
+            outs = list(fn(self.params, self._extra_vars, x_dev,
+                           jnp.float32(prob_thresh)))
+            d_dev = outs[1]
+            if device_dist:
+                outs[1] = None         # keep dist on device: no host download
+            outs = jax.device_get(outs)    # one batched D2H transfer
+            n_above = int(outs[4])
+            if n_above <= K or K >= cap:
+                break
+            # grow to the next power-of-two bucket that fits every candidate
+            K_new = 1 << int(np.ceil(np.log2(n_above)))
+            K = min(max(K_new, K * 2), cap)
         vals, d, points, valid, n_above, dmax = outs[:6]
         n_above = int(n_above)
         if n_above > K:
@@ -807,7 +830,10 @@ class StarDistBase:
                 f"number of candidates ({n_above}) exceeds max_candidates ({K}); "
                 "keeping the top-K by probability")
         n_valid = int(valid.sum())
-        vals = vals[:n_valid]          # top_k output: valid is a prefix
+        # top_k puts all valid (score > -1) rows first; fail loudly if not
+        # (e.g. non-finite scores) rather than silently slicing a wrong prefix
+        assert bool(valid[:n_valid].all()), "top_k valid rows are not a prefix"
+        vals = vals[:n_valid]
         points = points[:n_valid]
         d = d_dev[:n_valid] if device_dist else d[:n_valid]
         if device_dist:
@@ -934,7 +960,7 @@ class StarDistBase:
 
     def _predict_sparse_generator(self, img, prob_thresh=None, axes=None, normalizer=None,
                                   n_tiles=None, show_tile_progress=True, b=2,
-                                  max_candidates=2 ** 17, device_dist=False,
+                                  max_candidates=None, device_dist=False,
                                   **predict_kwargs):
         """Sparse prediction: returns flat candidate lists
         (prob, dist, [prob_class], points). Candidate extraction (threshold,
@@ -1034,7 +1060,7 @@ class StarDistBase:
         if not filtered_on_device:
             idx = resizer.filter_points(x.ndim, pointsa, axes_net)
             proba = proba[idx]
-            dista = dista[idx] if not dist_on_device else dista[np.asarray(idx[0])]
+            dista = dista[idx]  # dist_on_device is always False on this branch
             pointsa = pointsa[idx]
         else:
             idx = None

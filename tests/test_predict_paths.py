@@ -73,6 +73,45 @@ def test_guess_n_tiles(model):
     assert len(nt) == 2 and all(t >= 1 for t in nt)
 
 
+def test_uncapped_candidate_extraction(model):
+    """With max_candidates=None (default) extraction grows its top-K until
+    every above-threshold pixel is a candidate — no silent truncation
+    (reference processes all candidates, stardist/nms.py:135-183)."""
+    import warnings as _warnings
+
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    ref = model.predict_sparse(img, prob_thresh=0.3)
+    n_ref = len(ref[0])
+    assert n_ref > 32
+
+    # force the initial bucket far below the candidate count: the grow-and-
+    # retry loop must recover the exact same candidate set, warning-free
+    old = model._extract_k0
+    model._sparse_extract_fn.cache_clear()
+    try:
+        model._extract_k0 = 16
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            grown = model.predict_sparse(img, prob_thresh=0.3)
+    finally:
+        model._extract_k0 = old
+        model._sparse_extract_fn.cache_clear()
+    assert len(grown[0]) == n_ref
+    np.testing.assert_array_equal(grown[2], ref[2])
+    np.testing.assert_allclose(grown[0], ref[0], rtol=1e-6)
+
+    # an explicit numeric cap still truncates, with a warning
+    model._sparse_extract_fn.cache_clear()
+    try:
+        model._extract_k0 = 16
+        with pytest.warns(UserWarning, match="exceeds max_candidates"):
+            capped = model.predict_sparse(img, prob_thresh=0.3, max_candidates=16)
+    finally:
+        model._extract_k0 = old
+        model._sparse_extract_fn.cache_clear()
+    assert len(capped[0]) == 16
+
+
 def test_odd_sizes_padding(model):
     """Non-divisible image sizes are padded and cropped transparently."""
     for shape in ((97, 101), (65, 130)):
