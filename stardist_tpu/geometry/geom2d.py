@@ -56,12 +56,14 @@ def dist_to_coord(dist, points, scale_dist=(1, 1)):
     return coord
 
 
-def _use_native_raster(env_var, scale_dist=(1, 1)):
+def _use_native_raster(env_var, scale_dist=(1, 1), shape=None, n_polys=None):
     """Host-native rasterization wins when the device is behind a slow
     device->host link (the full label image must come back either way):
     render the few surviving polygons/polyhedra on the host instead of
-    downloading the image. Auto mode probes the measured D2H bandwidth
-    once; overridable via ``env_var`` = native|device|auto."""
+    downloading the image. Auto mode compares the estimated label-image
+    download time (image size / measured D2H bandwidth) against the
+    estimated host render time (~per-polygon cost x survivor count);
+    overridable via ``env_var`` = native|device|auto."""
     import os
     mode = os.environ.get(env_var, "auto")
     if mode == "device":
@@ -74,8 +76,18 @@ def _use_native_raster(env_var, scale_dist=(1, 1)):
             return False
         from ..core.linkspeed import d2h_bandwidth_bytes_per_s
         bw = d2h_bandwidth_bytes_per_s()
-        if bw is not None and bw > 200e6:
-            return False  # fast link: on-device rasterize + download wins
+        if bw is not None:
+            if shape is None or n_polys is None:
+                if bw > 200e6:
+                    return False
+            else:
+                # device path: rasterize kernel (~8 ns/px) + int32 download;
+                # host path: ~25 us/polygon (measured, bench shapes)
+                n_px = float(np.prod(shape))
+                device_s = n_px * 8e-9 + n_px * 4 / bw
+                host_s = float(n_polys) * 25e-6
+                if device_s < host_s:
+                    return False
     try:
         from ..lib import get_lib
         get_lib()
@@ -84,8 +96,9 @@ def _use_native_raster(env_var, scale_dist=(1, 1)):
         return False
 
 
-def _use_native_raster2d(shape, scale_dist):
-    return _use_native_raster("STARDIST_TPU_RASTER2D", scale_dist)
+def _use_native_raster2d(shape, scale_dist, n_polys=None):
+    return _use_native_raster("STARDIST_TPU_RASTER2D", scale_dist,
+                              shape=shape, n_polys=n_polys)
 
 
 def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):
@@ -102,7 +115,7 @@ def _render_polygons(dist, points, prob, labels, shape, scale_dist=(1, 1)):
     # that the reference's sequential overwrite would have rendered last
     order_values = np.empty(n, np.int32)
     order_values[ind] = np.arange(1, n + 1)
-    if _use_native_raster2d(shape, scale_dist):
+    if _use_native_raster2d(shape, scale_dist, n_polys=n):
         from ..lib import polygons_to_label_native
         return polygons_to_label_native(np.asarray(dist), np.asarray(points),
                                         tuple(shape), order_values,

@@ -28,12 +28,13 @@ def star_dist3D(lbl, rays, grid=(1, 1, 1), mode="jax"):
         raise ValueError(f"Unknown mode {mode}")
 
 
-def _use_native_raster3d():
+def _use_native_raster3d(shape=None, n_polys=None):
     """Host-native rasterization when the device sits behind a slow
     device->host link (shared heuristic: geom2d._use_native_raster).
     Overridable via STARDIST_TPU_RASTER3D=native|device|auto."""
     from .geom2d import _use_native_raster
-    return _use_native_raster("STARDIST_TPU_RASTER3D")
+    return _use_native_raster("STARDIST_TPU_RASTER3D", shape=shape,
+                              n_polys=n_polys)
 
 
 def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,
@@ -95,7 +96,7 @@ def polyhedron_to_label(dist, points, rays, shape, prob=None, thr=-np.inf,
     order_values = np.empty(n, np.int32)
     order_values[order] = np.arange(n, 0, -1)
 
-    if mode == "full" and _use_native_raster3d():
+    if mode == "full" and _use_native_raster3d(shape=shape, n_polys=n):
         from ..lib import polyhedra_to_label_native
         res = polyhedra_to_label_native(
             dist, points, rays, tuple(shape), order_values,

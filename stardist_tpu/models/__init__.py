@@ -55,15 +55,64 @@ def get_model_details(cls, key_or_alias, verbose=False):
     return key, models[key]
 
 
+def _cache_dir():
+    import os
+    from pathlib import Path
+    return Path(os.environ.get("STARDIST_TPU_MODEL_CACHE",
+                               Path.home() / ".cache" / "stardist_tpu" / "models"))
+
+
+def _fetch_model_zip(cls, key, url, md5=None):
+    """Download (urllib; http/https/file URLs) + md5-check + unzip into the
+    model cache; returns the model directory. Mirrors csbdeep's
+    get_model_folder caching contract (reference models load via
+    BaseModel.from_pretrained)."""
+    import hashlib
+    import shutil
+    import urllib.request
+    import zipfile
+
+    target = _cache_dir() / cls.__name__ / key
+    if (target / "config.json").exists():
+        return target
+    target.mkdir(parents=True, exist_ok=True)
+    zip_path = target / "model.zip"
+    with urllib.request.urlopen(url) as r, open(zip_path, "wb") as f:
+        shutil.copyfileobj(r, f)
+    if md5 is not None:
+        got = hashlib.md5(zip_path.read_bytes()).hexdigest()
+        if got != md5:
+            zip_path.unlink()
+            raise ValueError(f"md5 mismatch for {url}: got {got}, expected {md5}")
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(target)
+    zip_path.unlink()
+    # some zips nest the model dir one level down
+    if not (target / "config.json").exists():
+        subdirs = [d for d in target.iterdir() if d.is_dir()
+                   and (d / "config.json").exists()]
+        if len(subdirs) == 1:
+            for item in subdirs[0].iterdir():
+                shutil.move(str(item), str(target / item.name))
+            subdirs[0].rmdir()
+    if not (target / "config.json").exists():
+        raise ValueError(f"downloaded archive for '{key}' contains no config.json")
+    return target
+
+
 def _from_pretrained(cls, name_or_alias):
     from pathlib import Path
     key, details = get_model_details(cls, name_or_alias)
-    source = Path(details["source"])
-    if not source.is_dir():
-        raise NotImplementedError(
-            f"pretrained model source '{source}' is not a local directory; "
-            "downloading from URLs is not available in this offline build")
-    return cls(None, name=source.name, basedir=str(source.parent))
+    source = details["source"]
+    path = Path(source)
+    if path.is_dir():
+        return cls(None, name=path.name, basedir=str(path.parent))
+    if "://" in str(source):
+        target = _fetch_model_zip(cls, key, str(source), md5=details.get("hash"))
+        return cls(None, name=target.name, basedir=str(target.parent))
+    raise ValueError(
+        f"pretrained model source '{source}' is neither a local directory "
+        "nor a URL")
 
 
 def _patch_from_pretrained():
@@ -82,14 +131,16 @@ del _patch_from_pretrained
 
 
 def _register_reference_zoo():
-    """Names of the reference's pretrained zoo (stardist/models/__init__.py:
-    19-27). Downloading is unavailable in this offline build; from_pretrained
-    raises an informative error for URL sources, but the names/aliases are
-    registered for API parity."""
-    base = "https://github.com/stardist/stardist-models/releases/download"
-    register_model(StarDist2D, "2D_versatile_fluo", f"{base}/v0.1/2D_versatile_fluo.zip")
-    register_model(StarDist2D, "2D_versatile_he", f"{base}/v0.1/2D_versatile_he.zip")
-    register_model(StarDist2D, "2D_paper_dsb2018", f"{base}/v0.1/2D_paper_dsb2018.zip")
+    """The reference's pretrained zoo — same URLs, md5s, and aliases
+    (stardist/models/__init__.py:19-27). Keras HDF5 weights inside the zips
+    are imported via the h5->flax mapper (base.py _import_keras_h5)."""
+    base = "https://github.com/stardist/stardist-models/releases/download/v0.1"
+    register_model(StarDist2D, "2D_versatile_fluo", f"{base}/python_2D_versatile_fluo.zip",
+                   "8db40dacb5a1311b8d2c447ad934fb8a")
+    register_model(StarDist2D, "2D_versatile_he", f"{base}/python_2D_versatile_he.zip",
+                   "bf34cb3c0e5b3435971e18d66778a4ec")
+    register_model(StarDist2D, "2D_paper_dsb2018", f"{base}/python_2D_paper_dsb2018.zip",
+                   "6287bf283f85c058ec3e7094b41039b5")
     register_aliases(StarDist2D, "2D_versatile_fluo", "Versatile (fluorescent nuclei)")
     register_aliases(StarDist2D, "2D_versatile_he", "Versatile (H&E nuclei)")
     register_aliases(StarDist2D, "2D_paper_dsb2018", "DSB 2018 (from StarDist 2D paper)")

@@ -407,13 +407,133 @@ class StarDistBase:
         path = self.logdir / name if not Path(name).is_absolute() else Path(name)
         raw = path.read_bytes()
         if raw[:4] == b"\x89HDF":
-            raise NotImplementedError(
-                "Keras HDF5 weights import is not supported yet; re-train or convert to flax msgpack."
-            )
+            self.params = self._import_keras_h5(path)
+            return
         template = {"params": self.params, **self._extra_vars}
         restored = serialization.from_bytes(template, raw)
         self.params = restored["params"]
         self._extra_vars = {k: v for k, v in restored.items() if k != "params"}
+
+    # -- Keras HDF5 import ---------------------------------------------------
+
+    def _flax_conv_slots(self):
+        """Ordered conv-parameter paths of the flax net, in construction
+        (= forward topological) order — mirrors StarDistNet.__call__ and the
+        reference Keras build (stardist/models/model2d.py:310-349,
+        csbdeep unet_block). Returns a list of path tuples into params, each
+        addressing a module with kernel+bias."""
+        net = self.net
+        grid = tuple(net.grid)
+        slots = []
+        outer = 0
+        if net.backbone != "unet":
+            raise NotImplementedError(
+                "Keras HDF5 import currently supports the unet backbone only")
+        if net.unet_batch_norm:
+            raise NotImplementedError(
+                "Keras HDF5 import with batch_norm is not supported yet")
+        # grid pre-pooling convs
+        pooled = np.ones(net.n_dim, int)
+        while tuple(pooled) != grid:
+            pool = 1 + (np.asarray(grid) > pooled)
+            pooled *= pool
+            for _ in range(net.unet_n_conv_per_depth):
+                slots.append((f"ConvBlock_{outer}", "Conv_0"))
+                outer += 1
+        # unet_block: down path, middle, up path
+        inner = 0
+        for _n in range(net.unet_n_depth):
+            for _ in range(net.unet_n_conv_per_depth):
+                slots.append(("UNetBackbone_0", f"ConvBlock_{inner}", "Conv_0"))
+                inner += 1
+        for _ in range(net.unet_n_conv_per_depth):      # middle: n_conv convs
+            slots.append(("UNetBackbone_0", f"ConvBlock_{inner}", "Conv_0"))
+            inner += 1
+        for _n in range(net.unet_n_depth):
+            for _ in range(net.unet_n_conv_per_depth):
+                slots.append(("UNetBackbone_0", f"ConvBlock_{inner}", "Conv_0"))
+                inner += 1
+        named = {}
+        if net.net_conv_after_unet > 0:
+            named["features"] = (f"ConvBlock_{outer}", "Conv_0")
+            slots.append(named["features"])
+            outer += 1
+        named["prob"] = ("head_prob",)
+        named["dist"] = ("head_dist",)
+        slots.append(named["prob"])
+        slots.append(named["dist"])
+        if self._is_multiclass():
+            if net.net_conv_after_unet > 0:
+                named["features_class"] = (f"ConvBlock_{outer}", "Conv_0")
+                slots.append(named["features_class"])
+                outer += 1
+            named["prob_class"] = ("head_prob_class",)
+            slots.append(named["prob_class"])
+        return slots, named
+
+    def _import_keras_h5(self, path):
+        """Map a Keras ``save_weights`` HDF5 file (reference zoo layout,
+        csbdeep-built unet topology) onto the flax param tree.
+
+        Named layers ('features', 'prob', 'dist', 'features_class',
+        'prob_class' — reference model2d.py:330-347) are pinned by name; the
+        remaining conv layers match the flax conv slots in forward
+        (topological) order, with shape checks at every position."""
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            g = f["model_weights"] if "model_weights" in f else f
+            if "layer_names" not in g.attrs:
+                raise ValueError(f"not a Keras weights HDF5 file: {path}")
+            layer_names = [n.decode() if isinstance(n, bytes) else n
+                           for n in g.attrs["layer_names"]]
+            entries = []
+            for ln in layer_names:
+                lg = g[ln]
+                wnames = [n.decode() if isinstance(n, bytes) else n
+                          for n in lg.attrs.get("weight_names", [])]
+                if not wnames:
+                    continue
+                entries.append((ln, [np.asarray(lg[wn]) for wn in wnames]))
+
+        slots, named = self._flax_conv_slots()
+
+        # split keras entries into name-pinned and anonymous
+        assign = {}      # path tuple -> [kernel, bias]
+        anon = []
+        for ln, ws in entries:
+            if len(ws) != 2:
+                raise NotImplementedError(
+                    f"layer '{ln}' has {len(ws)} weights; only conv "
+                    "kernel+bias layers are supported")
+            if ln in named:
+                assign[named[ln]] = ws
+            else:
+                anon.append((ln, ws))
+        open_slots = [s for s in slots if s not in assign]
+        if len(anon) != len(open_slots):
+            raise ValueError(
+                f"Keras file has {len(anon)} unnamed conv layers but the "
+                f"network expects {len(open_slots)} "
+                f"({[ln for ln, _ in anon]} vs {open_slots})")
+        for (ln, ws), s in zip(anon, open_slots):
+            assign[s] = ws
+
+        params = _to_mutable(self.params)
+        for s, (kernel, bias) in assign.items():
+            node = params
+            for k in s:
+                node = node[k]
+            cur_k, cur_b = node["kernel"], node["bias"]
+            if tuple(cur_k.shape) != tuple(kernel.shape) or \
+                    tuple(cur_b.shape) != tuple(bias.shape):
+                raise ValueError(
+                    f"shape mismatch at {s}: flax {tuple(cur_k.shape)}/"
+                    f"{tuple(cur_b.shape)} vs h5 {tuple(kernel.shape)}/"
+                    f"{tuple(bias.shape)}")
+            node["kernel"] = jnp.asarray(kernel, jnp.float32)
+            node["bias"] = jnp.asarray(bias, jnp.float32)
+        return params
 
     def _find_and_load_weights(self, prefer="best"):
         from itertools import chain
@@ -1367,6 +1487,13 @@ class StarDistBase:
         return export_tf_saved_model(self, fname=fname,
                                      single_output=single_output,
                                      upsample_grid=upsample_grid)
+
+
+def _to_mutable(tree):
+    """Nested FrozenDict/dict -> plain nested dict (leaves unchanged)."""
+    if hasattr(tree, "items") :
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
 
 
 def _strip_derived(cfg_dict):

@@ -86,6 +86,12 @@ def _compact_pairs(ambiguous, A_max, P):
     return sel // A_max, amb_idx.reshape(Q * A_max)[sel], pair_valid, max_amb, n_pairs
 
 
+# last-successful compaction capacities per kernel tag: subsequent calls on
+# similar candidate fields start at the working sizes instead of re-discovering
+# them through overflow retries (each retry is a full kernel re-run)
+_RETRY_CAPS = {}
+
+
 def _compaction_retry(call, A0, P0, amb_cap, col_capacity, pair_cap_of,
                       a_min, p_min, verbose, tag):
     """Run a fixed-capacity NMS kernel, growing the ambiguous-column (A) and
@@ -93,6 +99,9 @@ def _compaction_retry(call, A0, P0, amb_cap, col_capacity, pair_cap_of,
     Returns the kernel result, or None when max_amb exceeds ``amb_cap``
     (callers fall back to a host path)."""
     A, P = A0, P0
+    cached = _RETRY_CAPS.get(tag)
+    if cached is not None:
+        A, P = max(A, cached[0]), max(P, cached[1])
     while True:
         A_p = min(_bucket(A, minimum=a_min), col_capacity)
         P_p = min(_bucket(P, minimum=p_min), pair_cap_of(A_p))
@@ -102,6 +111,7 @@ def _compaction_retry(call, A0, P0, amb_cap, col_capacity, pair_cap_of,
         amb_over = max_amb > A_p and A_p < col_capacity
         pairs_over = max_pairs > P_p and P_p < pair_cap_of(A_p)
         if not amb_over and not pairs_over:
+            _RETRY_CAPS[tag] = (A_p, P_p)
             return suppressed
         if max_amb > amb_cap:
             if verbose:
@@ -513,7 +523,13 @@ def _band_width_blocks(y_sorted, Q, T, n_real=None):
     ``n_real``: number of real (non-pad) candidates at the front of
     ``y_sorted``. Pad slots (sentinel y values) neither need coverage nor
     count as neighbors — including them would inflate NB by the number of
-    pad blocks (they all share one y value)."""
+    pad blocks (they all share one y value).
+
+    The result is rounded UP to a small bucket set (1, 2, 3, 4, 6, 8, ...):
+    NB is a static jit argument of the banded kernels, so every distinct
+    value costs a full recompile (minutes through a remote-TPU tunnel); a
+    slightly wider band trades a bit of bounded extra compute for
+    compile-cache hits."""
     n = len(y_sorted) if n_real is None else int(n_real)
     ys = y_sorted[:n]
     n_blocks = (n + Q - 1) // Q
@@ -523,7 +539,17 @@ def _band_width_blocks(y_sorted, Q, T, n_real=None):
         lo_idx = int(np.searchsorted(ys, ys[i0] - T, side="left"))
         hi_idx = int(np.searchsorted(ys, ys[i1] + T, side="right")) - 1
         nb = max(nb, b - lo_idx // Q, hi_idx // Q - b)
-    return nb
+    return _bucket_nb(nb)
+
+
+def _bucket_nb(nb):
+    """Round a band width up to ~1.5x-spaced buckets (1,2,3,4,6,9,13,19,...)."""
+    if nb <= 4:
+        return nb
+    b = 4
+    while b < nb:
+        b = b * 3 // 2
+    return b
 
 
 def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,

@@ -9,9 +9,11 @@ per-tile *dynamic* trip counts — the case where padding-free iteration
 beats any dense XLA formulation) and resolves the winner with an
 elementwise max. No scatter anywhere.
 
-Semantics are identical to ``_raster2d_impl`` (same wedge point-in-polygon
-test, same splat window, "largest order value wins"): each candidate is
-evaluated on the same pixel set and the same f32 expressions. The
+Semantics match ``_raster2d_impl`` (same splat window, "largest order
+value wins") up to degenerate on-ray boundary pixels: this kernel picks
+the wedge via double-cross signs while the JAX/native paths use f32
+atan2 + floor(theta/dphi), so a pixel lying exactly on a ray direction
+can be assigned to the adjacent wedge and differ on the boundary. The
 winner->label mapping rides along by packing ``(order_value << 16) | label``
 into the max operand when both fit in 16 bits (the common case).
 """
