@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import time
 import warnings
 import threading
 from collections import namedtuple
@@ -548,6 +549,44 @@ class StarDistBase:
         print(f"Loading network weights from '{weights_chosen.name}'.")
         self.load_weights(weights_chosen.name)
 
+    # -- training-state checkpoint / resume -----------------------------------
+
+    def _save_train_state(self, epoch, jax_rng, lr, best_ckpt, best_plateau,
+                          plateau_wait, history_dict, np_state):
+        """Persist the full training trajectory state (params + optimizer
+        state + step/epoch + rngs + LR/plateau trackers + history) so an
+        interrupted training can resume bitwise (SURVEY §5 checkpoint row;
+        the reference only checkpoints weights via Keras ModelCheckpoint)."""
+        state = {
+            "epoch": np.int64(epoch),
+            "jax_rng": np.asarray(jax_rng),
+            "lr": np.float64(lr),
+            "best_ckpt": np.float64(best_ckpt),
+            "best_plateau": np.float64(best_plateau),
+            "plateau_wait": np.int64(plateau_wait),
+            "history": {k: np.asarray(v, np.float64)
+                        for k, v in history_dict.items()},
+            "params": np.frombuffer(
+                serialization.to_bytes(self.params), np.uint8),
+            "opt_state": np.frombuffer(
+                serialization.to_bytes(self.opt_state), np.uint8),
+        }
+        if np_state is not None:
+            state["np_rng"] = {
+                "keys": np.asarray(np_state[1], np.uint32),
+                "pos": np.int64(np_state[2]),
+                "has_gauss": np.int64(np_state[3]),
+                "cached_gaussian": np.float64(np_state[4]),
+            }
+        (self.logdir / "train_state.msgpack").write_bytes(
+            serialization.to_bytes(state))
+
+    def _load_train_state(self):
+        path = self.logdir / "train_state.msgpack" if self.basedir is not None else None
+        if path is None or not path.exists():
+            return None
+        return serialization.msgpack_restore(path.read_bytes())
+
     # -- training -------------------------------------------------------------
 
     def prepare_for_training(self, optimizer=None):
@@ -647,10 +686,17 @@ class StarDistBase:
                 batch = {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
         return batch
 
-    def _fit(self, data_train, data_val_batch, epochs, steps_per_epoch):
+    def _fit(self, data_train, data_val_batch, epochs, steps_per_epoch,
+             resume=False):
         """Training loop: per-step jitted update, per-epoch validation,
         ReduceLROnPlateau + best/last checkpoints (reference
-        prepare_for_training callbacks, base.py:291-368)."""
+        prepare_for_training callbacks, base.py:291-368).
+
+        ``resume=True`` restores the full training state saved each epoch in
+        ``train_state.msgpack`` (params, optimizer state, jax rng, LR/plateau
+        trackers, history, and the numpy global RNG state captured at the
+        epoch boundary of the data stream) and continues with a trajectory
+        bitwise-identical to an uninterrupted run."""
         cfg = self.config
         rng = jax.random.PRNGKey(0)
         history = History()
@@ -663,6 +709,34 @@ class StarDistBase:
             factor = float(rlrop.get("factor", 0.5))
             patience = int(rlrop.get("patience", 10))
             min_delta = float(rlrop.get("min_delta", rlrop.get("epsilon", 0)))
+
+        start_epoch = 0
+        resume_state = None
+        if resume:
+            resume_state = self._load_train_state()
+            if resume_state is None:
+                warnings.warn("resume=True but no train_state.msgpack found; "
+                              "starting from scratch")
+            else:
+                start_epoch = int(resume_state["epoch"])
+                if start_epoch >= epochs:
+                    print(f"resume: training already completed ({start_epoch}/{epochs} epochs)")
+                    history.history = {k: list(v) for k, v in
+                                       resume_state["history"].items()}
+                    return history
+                rng = jnp.asarray(resume_state["jax_rng"], jnp.uint32)
+                lr = float(resume_state["lr"])
+                best_ckpt = float(resume_state["best_ckpt"])
+                best_plateau = float(resume_state["best_plateau"])
+                plateau_wait = int(resume_state["plateau_wait"])
+                history.history = {k: list(v) for k, v in
+                                   resume_state["history"].items()}
+                if "np_rng" in resume_state:
+                    np.random.set_state(_np_rng_state_from(resume_state["np_rng"]))
+                self.opt_state = serialization.from_bytes(
+                    self.opt_state, bytes(resume_state["opt_state"]))
+                self.params = serialization.from_bytes(
+                    self.params, bytes(resume_state["params"]))
 
         val_batch = self._put_batch(data_val_batch) if data_val_batch is not None else None
 
@@ -688,26 +762,39 @@ class StarDistBase:
         prefetch_q = _queue.Queue(maxsize=4)
         n_total_steps = epochs * steps_per_epoch
         stop_flag = []
+        # np.random state snapshots at each epoch's first data item — the
+        # producer runs ahead of the consumer, so the state must be captured
+        # in the data stream (not at checkpoint-save time) for bitwise resume
+        epoch_np_rng = {}
+        epoch_np_rng_lock = threading.Lock()
 
         def _producer():
-            for s in range(n_total_steps):
+            for s in range(start_epoch * steps_per_epoch, n_total_steps):
                 if stop_flag:
                     return
+                if s % steps_per_epoch == 0:
+                    with epoch_np_rng_lock:
+                        epoch_np_rng[s // steps_per_epoch] = np.random.get_state()
                 try:
                     prefetch_q.put(data_train[s])
                 except Exception as e:  # surface errors in the consumer
                     prefetch_q.put(e)
                     return
+            # boundary state AFTER the last item: where a longer run's next
+            # epoch would start — needed to resume past this run's last epoch
+            with epoch_np_rng_lock:
+                epoch_np_rng[epochs] = np.random.get_state()
 
         producer = threading.Thread(target=_producer, daemon=True)
         producer.start()
 
-        step = 0
+        trackers = dict(best_ckpt=best_ckpt, best_plateau=best_plateau,
+                        plateau_wait=plateau_wait, lr=lr)
         try:
             self._fit_epochs(
                 epochs, steps_per_epoch, prefetch_q, rng, history,
-                jsonl_path, tb_writer, lr, factor, patience, min_delta, rlrop,
-                val_batch)
+                jsonl_path, tb_writer, trackers, factor, patience, min_delta,
+                rlrop, val_batch, start_epoch, epoch_np_rng, epoch_np_rng_lock)
         finally:
             stop_flag.append(True)
             try:
@@ -719,14 +806,18 @@ class StarDistBase:
         return history
 
     def _fit_epochs(self, epochs, steps_per_epoch, prefetch_q, rng, history,
-                    jsonl_path, tb_writer, lr, factor, patience, min_delta,
-                    rlrop, val_batch):
+                    jsonl_path, tb_writer, trackers, factor, patience,
+                    min_delta, rlrop, val_batch, start_epoch=0,
+                    epoch_np_rng=None, epoch_np_rng_lock=None):
         cfg = self.config
-        best_ckpt = np.inf
-        best_plateau = np.inf
-        plateau_wait = 0
-        step = 0
-        for epoch in range(epochs):
+        best_ckpt = trackers["best_ckpt"]
+        best_plateau = trackers["best_plateau"]
+        plateau_wait = trackers["plateau_wait"]
+        lr = trackers["lr"]
+        if start_epoch > 0 and rlrop is not None:
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        step = start_epoch * steps_per_epoch
+        for epoch in range(start_epoch, epochs):
             train_logs = []
             for _ in range(steps_per_epoch):
                 batch = prefetch_q.get()
@@ -774,6 +865,22 @@ class StarDistBase:
                     self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
                     plateau_wait = 0
                     print(f"ReduceLROnPlateau: reducing learning rate to {lr:g}", flush=True)
+
+            if self.basedir is not None:
+                # np.random state at the NEXT epoch's data-stream boundary
+                # (the producer thread snapshots it before generating the
+                # epoch's first item; wait briefly if it hasn't got there yet)
+                np_state = None
+                if epoch_np_rng is not None:
+                    for _ in range(2000):
+                        with epoch_np_rng_lock:
+                            np_state = epoch_np_rng.get(epoch + 1)
+                        if np_state is not None:
+                            break
+                        time.sleep(0.005)
+                self._save_train_state(epoch + 1, rng, lr, best_ckpt,
+                                       best_plateau, plateau_wait,
+                                       history.history, np_state)
 
     def _training_finished(self):
         if self.basedir is not None:
@@ -1487,6 +1594,12 @@ class StarDistBase:
         return export_tf_saved_model(self, fname=fname,
                                      single_output=single_output,
                                      upsample_grid=upsample_grid)
+
+
+def _np_rng_state_from(d):
+    """Stored dict -> np.random.set_state tuple."""
+    return ("MT19937", np.asarray(d["keys"], np.uint32), int(d["pos"]),
+            int(d["has_gauss"]), float(d["cached_gaussian"]))
 
 
 def _to_mutable(tree):

@@ -197,10 +197,13 @@ class StarDist2D(StarDistBase):
         super().__init__(config, name=name, basedir=basedir)
 
     def train(self, X, Y, validation_data, classes="auto", augmenter=None, seed=None,
-              epochs=None, steps_per_epoch=None, workers=1):
+              epochs=None, steps_per_epoch=None, workers=1, resume=False):
         """Train the network (reference model2d.py:352-483).
 
         Negative label values disable all losses at those pixels.
+        ``resume=True`` continues an interrupted training from the last
+        epoch checkpoint (train_state.msgpack) with a bitwise-identical
+        trajectory.
         """
         if seed is not None:
             np.random.seed(seed)
@@ -266,7 +269,8 @@ class StarDist2D(StarDistBase):
                    and getattr(self.data_train, "supports_raw", False))
         train_data = _BatchDictAdapter(self.data_train, self._is_multiclass(),
                                        raw=use_raw)
-        return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+        return self._fit(train_data, val_batch, epochs, steps_per_epoch,
+                         resume=resume)
 
     def _device_targets_fn(self):
         """Traceable targets builder for the fused training step: EDT prob

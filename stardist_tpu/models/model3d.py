@@ -205,7 +205,7 @@ class StarDist3D(StarDistBase):
         return rays_from_json(self.config.rays_json)
 
     def train(self, X, Y, validation_data, classes="auto", augmenter=None, seed=None,
-              epochs=None, steps_per_epoch=None, workers=1):
+              epochs=None, steps_per_epoch=None, workers=1, resume=False):
         """Train the network (reference model3d.py:450-586)."""
         if seed is not None:
             np.random.seed(seed)
@@ -266,7 +266,8 @@ class StarDist3D(StarDistBase):
                    and getattr(self.data_train, "supports_raw", False))
         train_data = _BatchDictAdapter(self.data_train, self._is_multiclass(),
                                        raw=use_raw)
-        return self._fit(train_data, val_batch, epochs, steps_per_epoch)
+        return self._fit(train_data, val_batch, epochs, steps_per_epoch,
+                         resume=resume)
 
     def _device_targets_fn(self):
         """Traceable targets builder for the fused 3D training step (see
