@@ -1,12 +1,21 @@
-"""Benchmark: 2D instance segmentation throughput on one TPU chip.
+"""Benchmark: instance-segmentation throughput on one TPU chip.
 
-Times the flagship end-to-end path — `StarDist2D.predict_instances` on a
-4096x4096 synthetic fluorescence nuclei image (forward U-Net + on-device
-sparse candidate extraction + TPU NMS + TPU rasterization) — and prints one
-JSON line. Baseline target (BASELINE.md): 4096^2 in <100 ms on one v5e chip
-=> 167.77 Mpix/s.
+Emits one JSON line per metric (the flagship `predict2d_throughput` last,
+which the driver parses as the headline):
 
-A tiny seeded training run first gives the network realistic response
+- train2d_steps_per_s / train3d_steps_per_s — fused-target train steps;
+- nms2d_candidates_per_s — device NMS throughput on the real 4096^2 field;
+- predict3d_throughput — 3D `predict_instances` voxels/s;
+- bf16_ap_delta — |AP@0.5(bf16 inference) - AP@0.5(f32)| on the bench image
+  (accuracy guard for the bfloat16 fast path; must stay within 1e-3);
+- predict2d_throughput — end-to-end 4096^2 `predict_instances` Mpix/s vs
+  the BASELINE.md north star (4096^2 in 100 ms = 167.77 Mpix/s).
+
+Timing note: on the tunneled TPU, `jax.block_until_ready` does not reliably
+block, so stage timings use host-visible results (predict_instances returns
+numpy) — every timed call includes the device->host sync by construction.
+
+A tiny seeded training first gives the network realistic response
 statistics (so candidate counts and NMS/rasterize load resemble production
 rather than a random net).
 """
@@ -21,7 +30,7 @@ def _synthetic_nuclei(shape, seed, r_range=(7, 14), density=6e-4):
     from scipy.ndimage import gaussian_filter
     rng = np.random.RandomState(seed)
     lbl = np.zeros(shape, np.int32)
-    n = int(density * shape[0] * shape[1])
+    n = int(density * np.prod(shape[:2]))
     yy, xx = np.mgrid[: 64, : 64]  # local stamp
     k = 0
     for _ in range(n):
@@ -43,6 +52,39 @@ def _synthetic_nuclei(shape, seed, r_range=(7, 14), density=6e-4):
     return img.astype(np.float32), lbl
 
 
+def _synthetic_nuclei_3d(shape, seed, r_range=(4, 7), density=2.5e-4):
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(seed)
+    lbl = np.zeros(shape, np.int32)
+    n = int(density * np.prod(shape))
+    k = 0
+    zz, yy, xx = np.mgrid[:24, :24, :24]
+    for _ in range(n):
+        r = rng.uniform(*r_range)
+        c = [rng.uniform(r, s - r) for s in shape]
+        z0, y0, x0 = (int(v) - 12 for v in c)
+        if min(z0, y0, x0) < 0 or z0 + 24 > shape[0] or y0 + 24 > shape[1] or x0 + 24 > shape[2]:
+            continue
+        mask = ((zz - (c[0] - z0)) ** 2 + (yy - (c[1] - y0)) ** 2
+                + (xx - (c[2] - x0)) ** 2) < r ** 2
+        region = lbl[z0:z0 + 24, y0:y0 + 24, x0:x0 + 24]
+        if (region[mask] > 0).any():
+            continue
+        k += 1
+        region[mask] = k
+    img = (lbl > 0).astype(np.float32)
+    img = gaussian_filter(img, 1.0)
+    img += 0.05 * rng.normal(size=shape).astype(np.float32)
+    return img.astype(np.float32), lbl
+
+
+def emit(metric, value, unit, vs_baseline=None):
+    line = {"metric": metric, "value": round(float(value), 4), "unit": unit}
+    if vs_baseline is not None:
+        line["vs_baseline"] = round(float(vs_baseline), 4)
+    print(json.dumps(line), flush=True)
+
+
 def main():
     import os
     import jax
@@ -54,7 +96,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from stardist_tpu.models import Config2D, StarDist2D
+    from stardist_tpu.models import Config2D, StarDist2D, Config3D, StarDist3D
+    from stardist_tpu.matching import matching
 
     np.random.seed(0)
 
@@ -72,19 +115,30 @@ def main():
                 seed=0, epochs=3, steps_per_epoch=40)
     print(f"train: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
+    # 2D train throughput: steady-state steps/s (warm jit; includes host
+    # target prep + H2D, measured over one full epoch of 40 steps)
+    t0 = time.perf_counter()
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]),
+                seed=1, epochs=1, steps_per_epoch=40)
+    dt = time.perf_counter() - t0
+    emit("train2d_steps_per_s", 40 / dt, "steps/s (batch 4x256^2)")
+
+    # -- benchmark image -----------------------------------------------------
+    H = W = 4096
+    img, lbl4096 = _synthetic_nuclei((H, W), seed=123)
+
+    # f32 reference prediction for the bf16 accuracy guard
+    labels_f32, _ = model.predict_instances(img, prob_thresh=0.5,
+                                            show_tile_progress=False)
+
     # inference-path optimizations: bfloat16 convs on the MXU, float16
     # host->device image upload
     model.set_inference_precision("bfloat16")
     model.transfer_dtype = np.float16
 
-    # -- benchmark image -----------------------------------------------------
-    H = W = 4096
-    img, _ = _synthetic_nuclei((H, W), seed=123)
-
     def run():
-        labels, polys = model.predict_instances(
-            img, prob_thresh=0.5, show_tile_progress=False)
-        return labels, polys
+        return model.predict_instances(img, prob_thresh=0.5,
+                                       show_tile_progress=False)
 
     # warmup (compilation)
     t0 = time.perf_counter()
@@ -92,6 +146,63 @@ def main():
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     n_obj = len(polys["prob"])
 
+    # bf16-vs-f32 accuracy: AP@0.5 against the synthetic ground truth
+    m_f32 = matching(lbl4096, labels_f32, thresh=0.5)
+    m_bf16 = matching(lbl4096, labels, thresh=0.5)
+    ap_delta = abs(m_f32.accuracy - m_bf16.accuracy)
+    emit("bf16_ap_delta", ap_delta, "|AP@0.5(bf16) - AP@0.5(f32)|")
+    print(f"AP@0.5: f32 {m_f32.accuracy:.4f}  bf16 {m_bf16.accuracy:.4f}",
+          file=sys.stderr)
+
+    # NMS throughput on the real candidate field of the bench image
+    counters = polys.get("nms_counters", {})
+    n_cand = counters.get("n_candidates", 0)
+    if n_cand:
+        from stardist_tpu.ops.nms import nms_polygons
+        import jax.numpy as jnp
+        res = model.predict_sparse(img, prob_thresh=0.5, device_dist=True,
+                                   show_tile_progress=False)
+        probi, disti, pointsi = res[0], res[1], res[2]
+        order = np.argsort(probi, kind="stable")[::-1]
+        d_sorted = disti[jnp.asarray(order.copy())] if not isinstance(disti, np.ndarray) \
+            else disti[order]
+        p_sorted = pointsi[order].astype(np.float32)
+        nms_polygons(d_sorted, p_sorted, thresh=0.4)  # warm
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nms_polygons(d_sorted, p_sorted, thresh=0.4)
+            times.append(time.perf_counter() - t0)
+        emit("nms2d_candidates_per_s", len(p_sorted) / min(times), "cand/s")
+
+    # -- 3D predict + train throughput ---------------------------------------
+    img3, lbl3 = _synthetic_nuclei_3d((64, 256, 256), seed=3)
+    cfg3 = Config3D(n_rays=64, grid=(1, 2, 2), train_patch_size=(32, 96, 96),
+                    train_batch_size=2, train_reduce_lr=None)
+    model3 = StarDist3D(cfg3, name="bench3d", basedir=None)
+    t0 = time.perf_counter()
+    model3.train([img3[:32, :96, :96]], [lbl3[:32, :96, :96]],
+                 validation_data=([img3[:32, :96, :96]], [lbl3[:32, :96, :96]]),
+                 seed=0, epochs=2, steps_per_epoch=20)
+    print(f"3D train: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    t0 = time.perf_counter()
+    model3.train([img3[:32, :96, :96]], [lbl3[:32, :96, :96]],
+                 validation_data=([img3[:32, :96, :96]], [lbl3[:32, :96, :96]]),
+                 seed=1, epochs=1, steps_per_epoch=20)
+    emit("train3d_steps_per_s", 20 / (time.perf_counter() - t0),
+         "steps/s (batch 2x(32,96,96))")
+
+    model3.predict_instances(img3, prob_thresh=0.5, show_tile_progress=False)  # warm
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        labels3, polys3 = model3.predict_instances(img3, prob_thresh=0.5,
+                                                   show_tile_progress=False)
+        times.append(time.perf_counter() - t0)
+    emit("predict3d_throughput", np.prod(img3.shape) / 1e6 / min(times),
+         "Mvox/s")
+
+    # -- headline: end-to-end 2D predict -------------------------------------
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -103,12 +214,7 @@ def main():
     mpix_per_s = (H * W / 1e6) / t
     baseline = (H * W / 1e6) / 0.1  # 100 ms target
     print(f"predict_instances 4096^2: {t * 1e3:.1f} ms, {n_obj} objects", file=sys.stderr)
-    print(json.dumps({
-        "metric": "predict2d_throughput",
-        "value": round(mpix_per_s, 3),
-        "unit": "Mpix/s",
-        "vs_baseline": round(mpix_per_s / baseline, 4),
-    }))
+    emit("predict2d_throughput", mpix_per_s, "Mpix/s", mpix_per_s / baseline)
 
 
 if __name__ == "__main__":

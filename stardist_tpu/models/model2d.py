@@ -351,6 +351,9 @@ class StarDist2D(StarDistBase):
 
         coord = dist_to_coord(disti, points, scale_dist=rescale)
         res_dict = dict(coord=coord, points=points, prob=probi)
+        from ..ops.nms import LAST_NMS_COUNTERS
+        if LAST_NMS_COUNTERS:
+            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
 
         if prob_class is not None:
             prob_class = np.asarray(prob_class)

@@ -366,6 +366,9 @@ class StarDist3D(StarDistBase):
 
         res_dict = dict(dist=disti, points=points, prob=probi, rays=rays,
                         rays_vertices=rays.vertices, rays_faces=rays.faces)
+        from ..ops.nms import LAST_NMS_COUNTERS
+        if LAST_NMS_COUNTERS:
+            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
 
         if prob_class is not None:
             prob_class = np.asarray(prob_class)

@@ -92,6 +92,57 @@ def _compact_pairs(ambiguous, A_max, P):
 _RETRY_CAPS = {}
 
 
+def _compact_pairs_chunked(ambiguous, A_max, P, C=16):
+    """Two-level chunked variant of `_compact_pairs` for wide windows.
+
+    Per-row top_k over the full W columns dominates the banded-NMS kernel
+    cost (~90% at bench shapes); a sparse mask is compacted much cheaper in
+    two stages: (1) top_k over per-chunk any-flags (W/C keys per row),
+    (2) gather the <=A_max selected C-wide chunks with a 0/1 bfloat16 matmul
+    (MXU) and top_k over the gathered A_max*C columns. Exactness: a row with
+    more than A_max active chunks necessarily has more than A_max ambiguous
+    columns, so the existing max_amb overflow retry already covers chunk
+    overflow. Returns the same tuple contract as `_compact_pairs`.
+    """
+    Q, W = ambiguous.shape
+    if W % C != 0 or W // C < A_max:
+        return _compact_pairs(ambiguous, A_max, P)
+    nC = W // C
+    amb3 = ambiguous.reshape(Q, nC, C)
+    flags = jnp.any(amb3, axis=-1)                              # (Q, nC)
+    max_amb = jnp.max(jnp.sum(ambiguous, axis=1))
+    chunk_pos = jnp.arange(nC, dtype=jnp.int32)
+    keys_c = jnp.where(flags, nC - chunk_pos[None, :], 0)
+    vals_c, cidx = jax.lax.top_k(keys_c, A_max)                 # (Q, A)
+    chunk_ok = vals_c > 0
+    cidx = jnp.where(chunk_ok, cidx, 0)
+    # gather the selected chunks: 0/1 one-hot matmul (exact in bfloat16)
+    oh = (cidx[:, :, None] == chunk_pos[None, None, :]).astype(jnp.bfloat16)
+    seg = jnp.einsum("qkc,qcw->qkw", oh, amb3.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)        # (Q, A, C)
+    seg = (seg > 0.5) & chunk_ok[:, :, None]
+    Wg = A_max * C
+    segf = seg.reshape(Q, Wg)
+    g_pos = jnp.arange(Wg, dtype=jnp.int32)
+    keys_g = jnp.where(segf, Wg - g_pos[None, :], 0)
+    vals_g, gidx = jax.lax.top_k(keys_g, A_max)                 # (Q, A)
+    amb_ok = vals_g > 0
+    # gathered index -> original column
+    sel_chunk = jnp.take_along_axis(cidx, gidx // C, axis=1)
+    amb_idx = sel_chunk * C + gidx % C                          # (Q, A)
+    amb_idx = jnp.where(amb_ok, amb_idx, 0)
+    # block-level pair compaction (same as _compact_pairs stage 2)
+    flat_ok = amb_ok.reshape(Q * A_max)
+    n_pairs = jnp.sum(flat_ok)
+    flat_pos = jnp.arange(Q * A_max, dtype=jnp.int32)
+    keys2 = jnp.where(flat_ok, Q * A_max - flat_pos, 0)
+    vals2, sel = jax.lax.top_k(keys2, P)
+    pair_valid = vals2 > 0
+    sel = jnp.where(pair_valid, sel, 0)
+    return (sel // A_max, amb_idx.reshape(Q * A_max)[sel], pair_valid,
+            max_amb, n_pairs)
+
+
 def _compaction_retry(call, A0, P0, amb_cap, col_capacity, pair_cap_of,
                       a_min, p_min, verbose, tag):
     """Run a fixed-capacity NMS kernel, growing the ambiguous-column (A) and
@@ -449,7 +500,8 @@ def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
         lb = _lens_area_lb(rin_r[:, None], rin_c[None], dc) / denom
         sup_blk = (lb > thresh) & pair_ok
         ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
-        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs_chunked(
+            ambiguous, A_max, P)
         max_amb = jnp.maximum(max_amb, amb_b)
         max_pairs = jnp.maximum(max_pairs, pairs_b)
 
@@ -516,6 +568,142 @@ def _greedy_nms_2d_banded(dist, points, rank, valid, established, thresh,
     return ~keep, max_amb, max_pairs
 
 
+# last-call per-stage NMS counters (reference verbose cascade
+# instrumentation, stardist3d_impl.cpp:1343-1366); read via
+# `stardist_tpu.ops.nms.LAST_NMS_COUNTERS` and surfaced in the
+# predict_instances details dict
+LAST_NMS_COUNTERS = {}
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 7))
+def _peel_2d(dist, points, rank, valid, Q, NB, thresh, S=16):
+    """Provably-exact candidate peeling before the full greedy kernel.
+
+    Banded sweeps over y-sorted candidates:
+
+    (a) *definite survivors*: a candidate with no earlier-rank candidate
+        within center distance ``rout_i + rout_j`` cannot be suppressed by
+        anyone — suppression needs a positive-area polygon intersection
+        (``A_inter/min(A) > thresh >= 0``), which requires
+        ``dc < rout_i + rout_j``, and only earlier-rank candidates suppress
+        (reference greedy loop, stardist/lib/stardist2d.cpp:524-588);
+    (b) *definitely suppressed (bound)*: a candidate whose inscribed-disc
+        lens LOWER bound of overlap vs some earlier-rank definite survivor
+        exceeds ``thresh`` is suppressed in the true greedy pass (that
+        survivor is guaranteed kept when the candidate is processed);
+    (c) *definitely suppressed (exact)*: for candidates still undecided,
+        the exact sampled overlap (the same S x S estimator the main kernel
+        uses) vs the NEAREST earlier-rank definite survivor — one pair per
+        candidate, so this costs O(N) exact tests instead of O(pairs).
+
+    Definitely-suppressed candidates never suppress anyone, so removing
+    them from the candidate set leaves the greedy result unchanged; the
+    expensive all-pairs kernel then runs on the (typically several-fold
+    smaller) remainder. Returns (defsurv, killed) bool (N,).
+    """
+    N = dist.shape[0]
+    n_blocks = N // Q
+    W = (2 * NB + 1) * Q
+    pad = NB * Q
+    area = polygon_areas(dist)
+    rin = _inner_radius_2d(dist)
+    rout = jnp.max(dist, axis=-1)
+
+    def padw(x, value):
+        widths = [(pad, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    points_p = padw(points, -1e9)
+    rout_p = padw(rout, 1e-3)
+    rin_p = padw(rin, 1e-3)
+    area_p = padw(area, 1.0)
+    valid_p = padw(valid, False)
+    rank_p = padw(rank, jnp.int32(2 ** 30))
+
+    def sweep1(b, defsurv):
+        i0 = b * Q
+        slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, Q, 0)
+        slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+        p_r, rout_r, rank_r = slr(points), slr(rout), slr(rank)
+        p_c, rout_c = slc(points_p), slc(rout_p)
+        valid_c, rank_c = slc(valid_p), slc(rank_p)
+        d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
+        rr = rout_r[:, None] + rout_c[None]
+        earlier = (rank_c[None, :] < rank_r[:, None]) & valid_c[None, :]
+        reach = earlier & (d2 < rr * rr)
+        ds = ~jnp.any(reach, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(defsurv, ds, i0, 0)
+
+    defsurv = jax.lax.fori_loop(0, n_blocks, sweep1, jnp.zeros(N, bool))
+    defsurv = defsurv & valid
+    defsurv_p = padw(defsurv, False)
+
+    def sweep2(b, carry):
+        killed, nn = carry
+        i0 = b * Q
+        slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, Q, 0)
+        slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+        p_r, rank_r = slr(points), slr(rank)
+        rin_r, area_r = slr(rin), slr(area)
+        p_c, rank_c = slc(points_p), slc(rank_p)
+        rin_c, area_c = slc(rin_p), slc(area_p)
+        ds_c = slc(defsurv_p)
+        d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
+        dc = jnp.sqrt(d2)
+        denom = jnp.minimum(area_r[:, None], area_c[None]) + 1e-10
+        lb = _lens_area_lb(rin_c[None], rin_r[:, None], dc) / denom
+        earlier_ds = ds_c[None, :] & (rank_c[None, :] < rank_r[:, None])
+        kb = jnp.any(earlier_ds & (lb > thresh), axis=1)
+        # nearest earlier definite survivor (global y-order index, -1 = none)
+        d2m = jnp.where(earlier_ds, d2, jnp.inf)
+        a = jnp.argmin(d2m, axis=1)
+        has = jnp.take_along_axis(d2m, a[:, None], axis=1)[:, 0] < jnp.inf
+        nn_b = jnp.where(has, i0 - pad + a, -1)
+        return (jax.lax.dynamic_update_slice_in_dim(killed, kb, i0, 0),
+                jax.lax.dynamic_update_slice_in_dim(nn, nn_b, i0, 0))
+
+    killed, nn = jax.lax.fori_loop(
+        0, n_blocks, sweep2,
+        (jnp.zeros(N, bool), jnp.full(N, -1, jnp.int32)))
+    killed = killed & valid & ~defsurv
+
+    # (c) exact sampled overlap vs the nearest earlier definite survivor —
+    # same estimator as the main kernel's exact stage, one pair per candidate
+    lo, hi = polygon_bboxes(dist, points)
+    s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    CH = min(4096, N)
+    n_chunks = (N + CH - 1) // CH
+
+    def exact_chunk(c, killed):
+        i0 = c * CH
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, CH, 0)
+        nn_c = sl(nn)
+        todo = (nn_c >= 0) & ~sl(killed)
+        i_idx = jnp.where(nn_c >= 0, nn_c, 0)
+        d_r, p_r = sl(dist), sl(points)
+        lo_r, hi_r, a_r = sl(lo), sl(hi), sl(area)
+        d_c, p_c = dist[i_idx], points[i_idx]
+        lo_c, hi_c, a_c = lo[i_idx], hi[i_idx], area[i_idx]
+        plo = jnp.maximum(lo_r, lo_c)
+        phi2 = jnp.minimum(hi_r, hi_c)
+        extp = jnp.maximum(phi2 - plo, 0.0)
+        qr = plo[:, 0, None, None] + s_grid[:, None] * extp[:, 0, None, None]
+        qc = plo[:, 1, None, None] + s_grid[None, :] * extp[:, 1, None, None]
+        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(CH, S * S, 2)
+        in_r = points_in_polygons(d_r, p_r, q)
+        in_c = points_in_polygons(d_c, p_c, q)
+        frac = jnp.mean(in_r & in_c, axis=-1)
+        inter = frac * extp[:, 0] * extp[:, 1]
+        kill_c = todo & (inter / (jnp.minimum(a_r, a_c) + 1e-10) > thresh)
+        cur = jax.lax.dynamic_slice_in_dim(killed, i0, CH, 0)
+        return jax.lax.dynamic_update_slice_in_dim(killed, cur | kill_c, i0, 0)
+
+    if N % CH == 0:
+        killed = jax.lax.fori_loop(0, n_chunks, exact_chunk, killed)
+        killed = killed & valid & ~defsurv
+    return defsurv, killed
+
+
 def _band_width_blocks(y_sorted, Q, T, n_real=None):
     """Smallest NB such that, for every Q-block of y-sorted candidates, all
     candidates within |dy| < T of the block live within +-NB blocks.
@@ -555,11 +743,13 @@ def _bucket_nb(nb):
 def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
                                 amb_max=128, amb_cap=4096, pair_slots=8192,
                                 verbose=False, established=0, rank=None,
-                                band_bytes_cap=6 << 30, dist_max=None):
+                                band_bytes_cap=6 << 30, dist_max=None,
+                                peel=True):
     """Banded-kernel driver: sort by row coordinate, compute the band width,
-    run `_greedy_nms_2d_banded` once (with ambiguous-cap retry). Returns the
-    keep mask in the caller's (score) order, or None if the band is too wide
-    or too large to be worthwhile (caller falls back)."""
+    peel provably-decided candidates (`_peel_2d`), run
+    `_greedy_nms_2d_banded` on the remainder (with ambiguous-cap retry).
+    Returns the keep mask in the caller's (score) order, or None if the band
+    is too wide or too large to be worthwhile (caller falls back)."""
     N = len(dist)
     Npad = _bucket(N, minimum=2 * Q)
     if rank is None:
@@ -572,12 +762,49 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
     rk = _pad(rank[order].astype(np.int32), Npad, value=2 ** 30)
     T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
     NB = _band_width_blocks(p[:, axis], Q, T, n_real=N)
-    n_blocks = Npad // Q
     W = (2 * NB + 1) * Q
     if W >= Npad or Npad * W * 2 > band_bytes_cap:
         return None
     valid = jnp.arange(Npad) < N
     dj, pj, rj = jnp.asarray(d), jnp.asarray(p), jnp.asarray(rk)
+    counters = LAST_NMS_COUNTERS
+    counters.update(n_candidates=N, n_peel_survivor=0, n_peel_suppressed=0)
+
+    keep_pos = None
+    if peel and established == 0 and N > 4096:
+        defsurv, killed = _peel_2d(dj, pj, rj, valid, Q, NB, float(thresh))
+        defsurv_h, killed_h = jax.device_get((defsurv, killed))
+        killed_h = np.asarray(killed_h)[:N]
+        counters.update(n_peel_survivor=int(np.asarray(defsurv_h)[:N].sum()),
+                        n_peel_suppressed=int(killed_h.sum()))
+        if verbose:
+            print(f"NMS: peel kept {N - int(killed_h.sum())}/{N} candidates "
+                  f"({counters['n_peel_survivor']} definite survivors)",
+                  flush=True)
+        # re-band the (much smaller) remainder only when it pays for the
+        # extra kernel-size compile bucket
+        if killed_h.sum() > max(2048, N // 8):
+            keep_pos = np.flatnonzero(~killed_h)
+            N2 = len(keep_pos)
+            Npad2 = _bucket(N2, minimum=2 * Q)
+            keep_pos_j = jnp.asarray(keep_pos)
+            d2 = _pad(dj[:N][keep_pos_j], Npad2, value=1e-3)
+            p_h2 = _pad(p[:N][keep_pos], Npad2, value=1e9)
+            rk2 = _pad(rk[:N][keep_pos], Npad2, value=2 ** 30)
+            NB2 = _band_width_blocks(p_h2[:, axis], Q, T, n_real=N2)
+            W2 = (2 * NB2 + 1) * Q
+            if W2 < Npad2:
+                dj, pj, rj = d2, jnp.asarray(p_h2), jnp.asarray(rk2)
+                valid = jnp.arange(Npad2) < N2
+                NB, W, Npad = NB2, W2, Npad2
+                N_kernel = N2
+            else:
+                keep_pos = None
+        if keep_pos is None:
+            N_kernel = N
+    else:
+        N_kernel = N
+
     suppressed = _compaction_retry(
         lambda A_p, P_p: jax.device_get(_greedy_nms_2d_banded(
             dj, pj, rj, valid, jnp.int32(established), float(thresh),
@@ -586,9 +813,13 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
         64, 1024, verbose, "banded")
     if suppressed is None:
         return None
-    keep_sorted = ~np.asarray(suppressed)[:N]
-    keep = np.empty(N, bool)
-    keep[order] = keep_sorted
+    keep_kernel = ~np.asarray(suppressed)[:N_kernel]
+    keep = np.zeros(N, bool)
+    if keep_pos is not None:
+        keep[order[keep_pos]] = keep_kernel
+    else:
+        keep[order] = keep_kernel
+    counters["n_survivors"] = int(keep.sum())
     return keep
 
 
@@ -812,6 +1043,9 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
         dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     N = len(dist)
+    LAST_NMS_COUNTERS.clear()
+    LAST_NMS_COUNTERS.update(n_candidates=N, n_peel_survivor=0,
+                             n_peel_suppressed=0, n_survivors=N)
     if N == 0:
         return np.zeros(0, bool)
     if N == 1:
@@ -820,8 +1054,10 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     if device_nms is None:
         device_nms = jax.default_backend() == "tpu"
     if device_nms:
-        return _nms_polygons_device(dist, points, thresh, samples=samples,
+        keep = _nms_polygons_device(dist, points, thresh, samples=samples,
                                     verbose=verbose, dist_max=dist_max)
+        LAST_NMS_COUNTERS["n_survivors"] = int(keep.sum())
+        return keep
     if dist_on_device:
         dist = np.asarray(dist, np.float32)
     if dense_max is None:
@@ -834,14 +1070,18 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
         valid = jnp.arange(Np) < N
         sup = _dense_suppression_2d(d, p, valid, samples, thresh, min(row_block, Np))
         suppressed = np.asarray(_greedy_scan(sup, valid))
-        return ~suppressed[:N]
+        keep = ~suppressed[:N]
+        LAST_NMS_COUNTERS["n_survivors"] = int(keep.sum())
+        return keep
 
-    return _blocked_greedy(
+    keep = _blocked_greedy(
         lambda dr, pr, dc, pc: _overlap_block_2d(dr, pr, dc, pc, samples, thresh),
         dist, points, thresh, row_block=row_block, col_block=col_block,
         verbose=verbose,
         bounds_fn=lambda dr, pr, dc, pc: _bounds_block_2d(dr, pr, dc, pc, thresh),
     )
+    LAST_NMS_COUNTERS["n_survivors"] = int(keep.sum())
+    return keep
 
 
 @functools.partial(jax.jit, static_argnums=(3, 5))
@@ -1024,7 +1264,8 @@ def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
         lb = _lens_volume_3d(rin_r[:, None], rin_c[None], dcn) / denom
         sup_blk = (lb > thresh) & pair_ok
         ambiguous = ~sup_blk & ~(ub <= thresh) & pair_ok
-        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs(ambiguous, A_max, P)
+        pr, pc, pair_valid, amb_b, pairs_b = _compact_pairs_chunked(
+            ambiguous, A_max, P)
         max_amb = jnp.maximum(max_amb, amb_b)
         max_pairs = jnp.maximum(max_pairs, pairs_b)
 
@@ -1236,6 +1477,9 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
         dist = np.asarray(dist, np.float32)
     points = np.asarray(points, np.float32)
     N = len(dist)
+    LAST_NMS_COUNTERS.clear()
+    LAST_NMS_COUNTERS.update(n_candidates=N, n_peel_survivor=0,
+                             n_peel_suppressed=0, n_survivors=N)
     if N == 0:
         return np.zeros(0, bool)
     if N == 1:
@@ -1244,8 +1488,10 @@ def nms_polyhedra(dist, points, rays, scores=None, thresh=0.5, use_bbox=True,
     if device_nms is None:
         device_nms = jax.default_backend() == "tpu"
     if device_nms:
-        return _nms_polyhedra_device(dist, points, rays, thresh, samples=samples,
+        keep = _nms_polyhedra_device(dist, points, rays, thresh, samples=samples,
                                      verbose=verbose, dist_max=dist_max)
+        LAST_NMS_COUNTERS["n_survivors"] = int(keep.sum())
+        return keep
     if dist_on_device:
         dist = np.asarray(dist, np.float32)
     if dense_max is None:

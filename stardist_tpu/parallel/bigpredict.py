@@ -93,36 +93,42 @@ def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
         variables["params"] = params
         return net.apply(variables, x, train=False)
 
-    # read + pad all blocks (host)
-    reads, pads = [], []
-    for block in blocks:
-        x = np.asarray(block.read(img, axes=axes))
-        pad = tuple((0, f - s) for f, s in zip(full_shape, x.shape))
-        pads.append(pad)
-        if any(p[1] > 0 for p in pad):
-            x = np.pad(x, pad, mode="reflect")
-        if channel is None:
-            x = x[..., np.newaxis]
-        reads.append(x.astype(np.float32))
+    # streaming pipeline: a reader thread prepares the next device-batch of
+    # blocks while the current batch is forwarded/stitched, so peak host
+    # memory is O(n_dev blocks), not O(all blocks) — zarr-safe end to end
+    # like the reference's sequential block driver
+    # (stardist/models/base.py:952-975)
+    import queue as _q
+    import threading
 
-    # network outputs per block, computed in device-count-sized batches
-    outs_prob, outs_dist, outs_class = [], [], []
-    multiclass = model._is_multiclass()
-    i = 0
-    while i < len(reads):
-        batch = reads[i:i + n_dev]
-        n_real = len(batch)
-        while len(batch) < n_dev:
-            batch.append(batch[-1])  # pad batch with duplicates
-        xb = jax.device_put(jnp.asarray(np.stack(batch)), batch_sharding)
-        outs = forward(params, xb)
-        outs = [np.asarray(o) for o in outs]
-        for k in range(n_real):
-            outs_prob.append(outs[0][k])
-            outs_dist.append(outs[1][k])
-            if multiclass:
-                outs_class.append(outs[2][k])
-        i += n_real
+    batch_q = _q.Queue(maxsize=2)
+
+    def _reader():
+        i = 0
+        try:
+            while i < len(blocks):
+                idxs = list(range(i, min(i + n_dev, len(blocks))))
+                arrs, pads_b = [], []
+                for bi in idxs:
+                    x = np.asarray(blocks[bi].read(img, axes=axes))
+                    pad = tuple((0, f - s) for f, s in zip(full_shape, x.shape))
+                    pads_b.append(pad)
+                    if any(p[1] > 0 for p in pad):
+                        x = np.pad(x, pad, mode="reflect")
+                    if channel is None:
+                        x = x[..., np.newaxis]
+                    arrs.append(x.astype(np.float32))
+                n_real = len(arrs)
+                while len(arrs) < n_dev:
+                    arrs.append(arrs[-1])  # pad batch with duplicates
+                batch_q.put((idxs, np.stack(arrs), pads_b, n_real))
+                i += n_real
+        except Exception as e:
+            batch_q.put(e)
+            return
+        batch_q.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
 
     # per-block instance extraction + deterministic ownership stitch
     from ..nms import _ind_prob_thresh
@@ -132,38 +138,50 @@ def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
     polys_all = {}
     label_offset = 1
     g_spatial = tuple(model.config.grid)
-    axes_net = model.config.axes
 
-    for bi, block in enumerate(blocks):
-        prob = outs_prob[bi][..., 0]
-        dist = np.maximum(1e-3, outs_dist[bi])
-        # crop padding (in grid units)
-        spatial_pads = [pads[bi][i] for i in spatial_axes]
-        crop = tuple(
-            slice(0, (f - p[1]) // g)
-            for f, p, g in zip((full_shape[i] for i in spatial_axes), spatial_pads, g_spatial)
-        )
-        prob = prob[crop]
-        dist = dist[crop + (slice(None),)]
+    while True:
+        item = batch_q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        idxs, xb_np, pads_b, n_real = item
+        xb = jax.device_put(jnp.asarray(xb_np), batch_sharding)
+        outs = forward(params, xb)
+        outs = [np.asarray(o) for o in outs]
 
-        inds = _ind_prob_thresh(prob, prob_thresh, b=2)
-        probi = prob[inds]
-        disti = dist[inds]
-        points = np.stack(np.where(inds), axis=1) * np.array(g_spatial).reshape(1, -1)
+        for k in range(n_real):
+            block = blocks[idxs[k]]
+            prob = outs[0][k][..., 0]
+            dist = np.maximum(1e-3, outs[1][k])
+            # crop padding (in grid units)
+            spatial_pads = [pads_b[k][i] for i in spatial_axes]
+            crop = tuple(
+                slice(0, (f - p[1]) // g)
+                for f, p, g in zip((full_shape[i] for i in spatial_axes),
+                                   spatial_pads, g_spatial)
+            )
+            prob = prob[crop]
+            dist = dist[crop + (slice(None),)]
 
-        block_shape = tuple(s.stop - s.start for s in block.slice_read(axes_out))
-        labels, polys = model._instances_from_prediction(
-            block_shape, probi, disti, points=points,
-            prob_thresh=prob_thresh, nms_thresh=nms_thresh, **kwargs)
+            inds = _ind_prob_thresh(prob, prob_thresh, b=2)
+            probi = prob[inds]
+            disti = dist[inds]
+            points = np.stack(np.where(inds), axis=1) * np.array(g_spatial).reshape(1, -1)
 
-        labels = block.crop_context(labels, axes=axes_out)
-        labels, polys = block.filter_objects(labels, polys, axes=axes_out)
-        labels = relabel_sequential(labels, label_offset)[0]
-        if labels_out is not None:
-            block.write(labels_out, labels, axes=axes_out)
-        for k, v in polys.items():
-            polys_all.setdefault(k, []).append(v)
-        label_offset += len(polys["prob"])
+            block_shape = tuple(s.stop - s.start for s in block.slice_read(axes_out))
+            labels, polys = model._instances_from_prediction(
+                block_shape, probi, disti, points=points,
+                prob_thresh=prob_thresh, nms_thresh=nms_thresh, **kwargs)
+
+            labels = block.crop_context(labels, axes=axes_out)
+            labels, polys = block.filter_objects(labels, polys, axes=axes_out)
+            labels = relabel_sequential(labels, label_offset)[0]
+            if labels_out is not None:
+                block.write(labels_out, labels, axes=axes_out)
+            for key, v in polys.items():
+                polys_all.setdefault(key, []).append(v)
+            label_offset += len(polys["prob"])
 
     polys_all = {
         k: (np.concatenate(v) if k in OBJECT_KEYS else v[0])

@@ -259,7 +259,15 @@ def optimize_threshold(Y, Yhat, model, nms_thresh, measure="accuracy",
                        iou_threshs=(0.3, 0.5, 0.7), bracket=None, tol=1e-2,
                        maxiter=20, verbose=1):
     """Golden-section search over prob_thresh maximizing the mean matching
-    score at fixed nms_thresh (reference stardist/utils.py:271-307)."""
+    score at fixed nms_thresh (reference stardist/utils.py:271-307).
+
+    Per-probe work is minimized by extracting each image's candidate list
+    ONCE at the bracket's lower edge (sorted by descending prob): every
+    probed ``prob_thresh`` then corresponds to a *prefix* of that list —
+    identical to re-thresholding the dense maps (same strict ``>`` and
+    border-exclusion semantics) but without the per-probe dense
+    threshold/sort pass. The reference re-runs the dense pipeline per probe
+    (stardist/utils.py:288)."""
     if not np.isscalar(nms_thresh):
         raise ValueError("nms_thresh must be a scalar")
     iou_threshs = [iou_threshs] if np.isscalar(iou_threshs) else list(iou_threshs)
@@ -269,16 +277,33 @@ def optimize_threshold(Y, Yhat, model, nms_thresh, measure="accuracy",
         max_prob = max(np.max(prob) for prob, dist in Yhat)
         bracket = max_prob / 2, max_prob
 
+    # one-time sparse candidate extraction per image at the lower bracket
+    # edge (b=2 border exclusion and grid scaling as in the dense NMS path,
+    # stardist_tpu/nms.py non_maximum_suppression)
+    grid = np.array(model.config.grid).reshape(1, -1)
+    pre = []
+    for prob, dist in Yhat:
+        from .nms import _ind_prob_thresh
+        mask = _ind_prob_thresh(np.asarray(prob), bracket[0], b=2)
+        points = np.stack(np.where(mask), axis=1)
+        probi = np.asarray(prob)[mask]
+        disti = np.asarray(dist)[mask]
+        order = np.argsort(probi, kind="stable")[::-1]
+        pre.append((probi[order], disti[order],
+                    (points[order] * grid).astype(np.float32)))
+
     def fn(thr):
         prob_thresh = float(np.clip(thr, *bracket))
         value = values.get(prob_thresh)
         if value is None:
-            Y_instances = [
-                model._instances_from_prediction(
-                    y.shape, *prob_dist, prob_thresh=prob_thresh, nms_thresh=nms_thresh
-                )[0]
-                for y, prob_dist in zip(Y, Yhat)
-            ]
+            Y_instances = []
+            for y, (probi, disti, pointsi) in zip(Y, pre):
+                # count of probi > prob_thresh (strict, like _ind_prob_thresh)
+                n = int(np.searchsorted(-probi, -prob_thresh, side="left"))
+                labels, _ = model._instances_from_prediction(
+                    y.shape, probi[:n], disti[:n], points=pointsi[:n],
+                    nms_thresh=nms_thresh)
+                Y_instances.append(labels)
             stats = matching_dataset(Y, Y_instances, thresh=iou_threshs, show_progress=False, parallel=True)
             values[prob_thresh] = value = float(np.mean([s._asdict()[measure] for s in stats]))
         if verbose > 1:
