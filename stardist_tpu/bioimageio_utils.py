@@ -19,8 +19,38 @@ from pathlib import Path
 
 import numpy as np
 
+# Fiji/deepImageJ postprocessing macro (2D): the deep-learning plugin produces
+# a stack whose first channel is the object probability map and whose
+# remaining channels are the star-distance rays; this macro hands those to the
+# StarDist Fiji plugin's NMS command with the model's calibrated thresholds
+# baked in. Functional equivalent of the reference's bundled macro
+# (stardist/bioimageio_utils.py:10-53), written for this exporter.
 DEEPIMAGEJ_MACRO = """\
-// StarDist postprocessing macro placeholder (prob={prob}, nms={nms})
+// StarDist 2D postprocessing for deepImageJ (requires the StarDist and
+// deepImageJ Fiji plugins). Input: the raw network output as a stack whose
+// channel 1 is the probability map and channels 2..n_rays+1 are the radial
+// distances. Exported by stardist_tpu with calibrated thresholds.
+getDimensions(w, h, nch, nsl, nfr);
+stack = getTitle();
+prob_thresh = {prob};
+nms_thresh = {nms};
+// channel 1 -> probability scores
+run("Make Substack...", "channels=1");
+rename("scores");
+// channels 2..end -> radial distances
+selectWindow(stack);
+run("Delete Slice", "delete=channel");
+selectWindow(stack);
+nrays = maxOf(nch, nsl) - 1;
+run("Properties...", "channels=" + nrays + " slices=1 frames=1 pixel_width=1.0 pixel_height=1.0 voxel_depth=1.0");
+rename("distances");
+// StarDist plugin candidate NMS + label/ROI rendering
+run("Command From Macro",
+    "command=[de.csbdresden.stardist.StarDist2DNMS], args=['prob':'scores'," +
+    " 'dist':'distances', 'probThresh':'" + prob_thresh + "'," +
+    " 'nmsThresh':'" + nms_thresh + "', 'outputType':'Both'," +
+    " 'excludeBoundary':'2', 'roiPosition':'Stack', 'verbose':'false']," +
+    " process=[false]");
 """
 
 
@@ -58,6 +88,24 @@ def export_bioimageio(model, outpath, test_input=None, name=None, mode="tpu_flax
     # run the model to produce sample outputs
     prob, dist = model.predict(test_input)[:2]
 
+    # bioimageio tensor specs (reference bioimageio_utils.py:212-259): the
+    # input must state its minimum shape / growth step / halo so consumers
+    # can tile correctly. Shapes are in b + spatial + c convention.
+    axes_net = model.config.axes.replace("C", "")
+    div_by = tuple(int(d) for d in model._axes_div_by(axes_net))
+    halo = [int(np.ceil(v / 8) * 8) for v in model._axes_tile_overlap(axes_net)]
+    min_shape = [ms + 2 * ha for ms, ha in zip((4 * d for d in div_by), halo)]
+    min_shape = [ms + (-ms % d) for ms, d in zip(min_shape, div_by)]
+    input_min_shape = [1] + min_shape + [model.config.n_channel_in]
+    input_step = [0] + list(div_by) + [0]
+    halo_bc = [0] + halo + [0]
+    in_axes = _axes_string(model)
+    preprocessing = [dict(name="scale_range",
+                          kwargs=dict(mode="per_sample",
+                                      axes=axes_net.lower(),
+                                      min_percentile=min_percentile,
+                                      max_percentile=max_percentile))]
+
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
         np.save(tmp / "test_input.npy", np.asarray(test_input))
@@ -69,6 +117,22 @@ def export_bioimageio(model, outpath, test_input=None, name=None, mode="tpu_flax
         (tmp / weights_name).write_bytes(
             serialization.to_bytes({"params": model.params, **model._extra_vars}))
 
+        weights = {"tpu_flax" if mode == "tpu_flax" else mode:
+                   dict(source=weights_name)}
+
+        # TF SavedModel bundle: the weights format real consumers (Fiji,
+        # deepImageJ) load. Single concatenated [prob, dist] output at input
+        # resolution, like the reference's Fiji export.
+        attachments = []
+        try:
+            tf_zip = model.export_TF(fname=tmp / "TF_SavedModel.zip")
+            import tensorflow as _tf
+            weights["tensorflow_saved_model_bundle"] = dict(
+                source=Path(tf_zip).name, tensorflow_version=_tf.__version__)
+        except Exception as e:  # pragma: no cover - TF missing/unsupported
+            import warnings
+            warnings.warn(f"TF SavedModel bundle not included: {e}")
+
         config = dict(
             stardist=dict(
                 python_version="0.1.0",
@@ -77,6 +141,14 @@ def export_bioimageio(model, outpath, test_input=None, name=None, mode="tpu_flax
                 thresholds=dict(model.thresholds._asdict()),
             )
         )
+
+        if ndim == 2:
+            macro_name = "stardist_postprocessing.ijm"
+            (tmp / macro_name).write_text(
+                DEEPIMAGEJ_MACRO.format(prob=model.thresholds.prob,
+                                        nms=model.thresholds.nms))
+            config["stardist"]["postprocessing_macro"] = macro_name
+            attachments.append(macro_name)
 
         rdf = dict(
             format_version="0.4.9",
@@ -89,10 +161,27 @@ def export_bioimageio(model, outpath, test_input=None, name=None, mode="tpu_flax
             cite=[dict(text="Cell Detection with Star-convex Polygons",
                        doi="10.1007/978-3-030-00934-2_30")],
             tags=[f"stardist{ndim}d", "segmentation", "tpu", "jax"],
-            inputs=[dict(name="input", axes=_axes_string(model),
-                         data_type="float32")],
-            outputs=[dict(name="prob"), dict(name="dist")],
-            weights={mode: dict(source=weights_name)},
+            inputs=[dict(name="input", axes=in_axes,
+                         data_type="float32",
+                         data_range=["-inf", "inf"],
+                         shape=dict(min=input_min_shape, step=input_step),
+                         preprocessing=preprocessing)],
+            outputs=[
+                dict(name="prob", axes=in_axes, data_type="float32",
+                     data_range=["-inf", "inf"],
+                     halo=halo_bc,
+                     shape=dict(reference_tensor="input",
+                                scale=[1] + [1 / g for g in model.config.grid] + [0],
+                                offset=[0] * (ndim + 1) + [0.5])),
+                dict(name="dist", axes=in_axes, data_type="float32",
+                     data_range=["-inf", "inf"],
+                     halo=halo_bc,
+                     shape=dict(reference_tensor="input",
+                                scale=[1] + [1 / g for g in model.config.grid] + [0],
+                                offset=[0] * (ndim + 1) + [model.config.n_rays / 2])),
+            ],
+            weights=weights,
+            attachments=dict(files=attachments) if attachments else {},
             test_inputs=["test_input.npy"],
             test_outputs=["test_prob.npy", "test_dist.npy"],
             config=config,
@@ -103,8 +192,6 @@ def export_bioimageio(model, outpath, test_input=None, name=None, mode="tpu_flax
             yaml.safe_dump(rdf, f, sort_keys=False)
         (tmp / "README.md").write_text(
             f"# {name}\n\nTPU-native StarDist model exported by stardist_tpu.\n")
-        (tmp / "deepimagej_macro.ijm").write_text(
-            DEEPIMAGEJ_MACRO.format(prob=model.thresholds.prob, nms=model.thresholds.nms))
 
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
             for p in sorted(tmp.iterdir()):

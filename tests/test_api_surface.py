@@ -81,9 +81,11 @@ def test_obj_export(tmp_path):
 def test_bundled_data():
     from stardist_tpu.data import test_image_nuclei_2d, test_image_he_2d, test_image_nuclei_3d
     img, mask = test_image_nuclei_2d(return_mask=True)
-    assert img.shape == mask.shape == (256, 256) and mask.max() > 10
+    # real bundled DSB image (512^2) when available, synthetic 256^2 fallback
+    assert img.shape == mask.shape and img.shape in ((512, 512), (256, 256))
+    assert mask.max() > 10
     he = test_image_he_2d()
-    assert he.shape == (256, 256, 3) and he.dtype == np.uint8
+    assert he.ndim == 3 and he.shape[-1] == 3 and he.dtype == np.uint8
     img3, mask3 = test_image_nuclei_3d(return_mask=True)
     assert img3.shape == mask3.shape and mask3.max() > 5
     # deterministic
@@ -100,6 +102,21 @@ def test_bioimageio_roundtrip(tmp_path):
     model = StarDist2D(cfg, name="bio", basedir=str(tmp_path))
     zip_path = export_bioimageio(model, tmp_path / "package")
     assert zip_path.exists()
+    # package carries the deepimagej macro, the TF SavedModel bundle, and a
+    # spec-conformant RDF (reference bioimageio_utils.py:212-332)
+    import yaml
+    import zipfile
+    with zipfile.ZipFile(zip_path) as z:
+        names = set(z.namelist())
+        assert "stardist_postprocessing.ijm" in names
+        assert "TF_SavedModel.zip" in names
+        rdf = yaml.safe_load(z.read("rdf.yaml"))
+    assert "tensorflow_saved_model_bundle" in rdf["weights"]
+    ins = rdf["inputs"][0]
+    assert ins["shape"]["step"][1:3] == [1, 1] or ins["shape"]["min"]
+    assert ins["preprocessing"][0]["name"] == "scale_range"
+    assert rdf["outputs"][0]["halo"][1] > 0
+    assert rdf["config"]["stardist"]["postprocessing_macro"] == "stardist_postprocessing.ijm"
     model2 = import_bioimageio(zip_path, tmp_path / "imported")
     assert model2.config.n_rays == 8
     # weights survive the round trip
