@@ -928,14 +928,41 @@ class StarDistBase:
     @functools.lru_cache(maxsize=None)
     def _forward_fn(self):
         net = self._inference_net()
+        use_chw = self._use_chw_forward()
 
         @jax.jit
         def forward(params, extra_vars, x):
+            x = x.astype(jnp.float32)
+            if use_chw:
+                from .unet_chw import chw_forward
+                outs = chw_forward(net, params, x[0])
+                prob = outs[0][None, ..., None]
+                dist = outs[1].reshape((1,) + outs[0].shape + (-1,))
+                if len(outs) > 2:
+                    pc = outs[2].reshape((1,) + outs[0].shape + (-1,))
+                    return prob, dist, pc
+                return prob, dist
             variables = dict(extra_vars)
             variables["params"] = params
-            return net.apply(variables, x.astype(jnp.float32), train=False)
+            return net.apply(variables, x, train=False)
 
         return forward
+
+    def _use_chw_forward(self):
+        """Whether inference uses the Pallas CHW conv path: TPU backend (or
+        forced via STARDIST_TPU_CHW=1), supported topology, bf16 inference."""
+        import os
+        mode = os.environ.get("STARDIST_TPU_CHW", "auto")
+        if mode == "0":
+            return False
+        try:
+            from .unet_chw import supports_chw
+            ok = supports_chw(self._inference_net())
+        except Exception:
+            return False
+        if not ok:
+            return False
+        return mode == "1" or jax.default_backend() == "tpu"
 
     def _predict_direct_np(self, x):
         """Forward pass on a single (spatial..., C) numpy array."""
@@ -970,15 +997,22 @@ class StarDistBase:
         """
         net = self._inference_net()
         n_dim = self.config.n_dim
+        use_chw = self._use_chw_forward()
 
         @jax.jit
         def extract(params, extra_vars, x, prob_thresh):
-            variables = dict(extra_vars)
-            variables["params"] = params
             x = x.astype(jnp.float32)
-            outs = net.apply(variables, x, train=False)
-            prob = outs[0][0, ..., 0]          # (sp...)
-            dist = outs[1][0]                  # (sp..., R)
+            if use_chw:
+                from .unet_chw import chw_forward
+                outs = chw_forward(net, params, x[0])
+                prob = outs[0]                 # (sp...)
+                dist = outs[1].reshape(prob.shape + (-1,))  # free: row-major
+            else:
+                variables = dict(extra_vars)
+                variables["params"] = params
+                outs = net.apply(variables, x, train=False)
+                prob = outs[0][0, ..., 0]      # (sp...)
+                dist = outs[1][0]              # (sp..., R)
             shape = prob.shape
             mask = prob > prob_thresh
             # border exclusion (b_key: per-axis (b_lo, b_hi), -1 = none)
@@ -999,7 +1033,8 @@ class StarDistBase:
             # separate device sync later)
             dmax = jnp.max(jnp.where(valid[:, None], d, 0.0))
             if multiclass:
-                pc = outs[2][0].reshape(-1, outs[2].shape[-1])[flat_idx]
+                pc_full = outs[2] if use_chw else outs[2][0]
+                pc = pc_full.reshape(-1, pc_full.shape[-1])[flat_idx]
                 return vals, d, points, valid, n_above, dmax, pc
             return vals, d, points, valid, n_above, dmax
 

@@ -1,0 +1,177 @@
+"""(H, C, W)-layout inference forward pass for the StarDist U-Net.
+
+Functionally identical to ``StarDistNet.__call__`` (unet.py — itself matching
+the reference topology, stardist/models/model2d.py:310-349), but every 3x3
+convolution runs through the Pallas CHW kernel (ops/conv_pallas.py), which is
+~10x faster than XLA's NHWC convolution for the C<=64 layers that dominate
+this architecture on TPU. Consumes the SAME Flax parameter pytree — module
+names are generated in call order, so this function mirrors the exact call
+sequence of ``StarDistNet``/``UNetBackbone``.
+
+Returns ``prob`` as (H', W') float32 and ``dist`` as (H'*W', R) float32 —
+the dist head is computed as ``dot_general(feat, k)`` contracting the channel
+dim, so the output is born row-major in (pixel, ray) layout: the sparse
+extraction path gathers candidate rows from it with no transpose, and
+``reshape(H', W', R)`` recovers the dense NHWC layout for free.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv_pallas import conv2d_hcw
+
+_KERNEL_ACTS = ("relu", "elu", "linear")
+
+
+def supports_chw(net) -> bool:
+    """True when `chw_forward` can replace `net.apply` for inference."""
+    return (net.n_dim == 2
+            and net.backbone == "unet"
+            and tuple(net.unet_kernel_size) == (3, 3)
+            and not net.unet_batch_norm
+            and str(net.unet_activation).lower() in _KERNEL_ACTS
+            and str(net.unet_last_activation).lower() in _KERNEL_ACTS)
+
+
+def _conv_block(x, p, act):
+    """ConvBlock equivalent (conv + bias + activation); x: (H, C, W)."""
+    k = p["Conv_0"]["kernel"]          # (3, 3, C, Cout)
+    b = p["Conv_0"]["bias"]
+    act = str(act).lower()
+    if act in _KERNEL_ACTS:
+        return conv2d_hcw(x, k, b, act=act)
+    y = conv2d_hcw(x, k, b, act="linear")
+    import flax.linen as nn
+    return {"tanh": jnp.tanh, "sigmoid": nn.sigmoid, "swish": nn.swish,
+            "gelu": nn.gelu}[act](y)
+
+
+def _max_pool(x, pool):
+    """2x2 (or 1x2/2x1) max-pool on (H, C, W) via strided slices.
+
+    XLA's reduce_window picks a catastrophic layout for (H, C, W) inputs with
+    C >= 64 (~470 ms for (1024, 64, 1024) on v5e vs ~5 ms this way); stride-2
+    slice+max lowers to cheap shifts/selects instead."""
+    H, C, W = x.shape
+    if pool[0] > 1:
+        assert pool[0] == 2
+        x = jnp.maximum(x[0::2], x[1::2])
+    if pool[1] > 1:
+        assert pool[1] == 2
+        x = jnp.maximum(x[:, :, 0::2], x[:, :, 1::2])
+    return x
+
+
+def _upsample(x, factors):
+    if factors[0] > 1:
+        x = jnp.repeat(x, factors[0], axis=0)
+    if factors[1] > 1:
+        x = jnp.repeat(x, factors[1], axis=2)
+    return x
+
+
+def _head_1x1(x, p):
+    """1x1 conv head as a channel-contraction matmul; x: (H, C, W) bf16.
+
+    Returns (H, W, Cout) float32 — born in (pixel, channel) order, so the
+    flat (H*W, Cout) view needs no transpose."""
+    H, C, W = x.shape
+    k = p["kernel"].reshape(p["kernel"].shape[-2:]).astype(x.dtype)  # (C, Cout)
+    b = p["bias"].astype(jnp.float32)
+    y = jax.lax.dot_general(x, k, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)      # (H, W, Cout)
+    return y + b[None, None, :]
+
+
+def chw_forward(net, params, x):
+    """Inference forward pass in CHW layout.
+
+    net: a StarDistNet instance (provides the static topology).
+    params: its Flax parameter pytree (params collection).
+    x: (H, W, C_in) input (single image, no batch dim).
+
+    Returns (prob, dist[, prob_class]): prob (H', W') f32,
+    dist (H'*W', R) f32, prob_class (H'*W', n_classes+1) f32.
+    """
+    assert supports_chw(net)
+    h = jnp.swapaxes(x, 1, 2).astype(jnp.bfloat16)         # (H, C_in, W)
+
+    top_i = 0
+
+    def top_block(h, act):
+        nonlocal top_i
+        p = params[f"ConvBlock_{top_i}"]
+        top_i += 1
+        return _conv_block(h, p, act)
+
+    # -- grid pre-pooling (mirrors unet.py StarDistNet.__call__) ------------
+    grid = tuple(net.grid)
+    pooled = np.ones(2, int)
+    while tuple(pooled) != grid:
+        pool = 1 + (np.asarray(grid) > pooled)
+        pooled *= pool
+        for _ in range(net.unet_n_conv_per_depth):
+            h = top_block(h, net.unet_activation)
+        h = _max_pool(h, tuple(pool))
+
+    # -- U-Net backbone (mirrors unet.py UNetBackbone.__call__) -------------
+    bp = params["UNetBackbone_0"]
+    bb_i = 0
+
+    def bb_block(h, act):
+        nonlocal bb_i
+        p = bp[f"ConvBlock_{bb_i}"]
+        bb_i += 1
+        return _conv_block(h, p, act)
+
+    n_depth = net.unet_n_depth
+    n_conv = net.unet_n_conv_per_depth
+    pool = tuple(net.unet_pool)
+    skips = []
+    for n in range(n_depth):
+        for _ in range(n_conv):
+            h = bb_block(h, net.unet_activation)
+        skips.append(h)
+        h = _max_pool(h, pool)
+    for _ in range(n_conv - 1):
+        h = bb_block(h, net.unet_activation)
+    h = bb_block(h, net.unet_activation)
+    for n in reversed(range(n_depth)):
+        h = jnp.concatenate([_upsample(h, pool), skips[n]], axis=1)
+        for _ in range(n_conv - 1):
+            h = bb_block(h, net.unet_activation)
+        h = bb_block(h, net.unet_activation if n > 0 else net.unet_last_activation)
+    base = h
+
+    # -- feature conv + heads ----------------------------------------------
+    if net.net_conv_after_unet > 0:
+        feat = top_block(base, net.unet_activation)
+    else:
+        feat = base
+
+    # prob + dist heads share `feat`: one fused contraction (C -> 1+R)
+    # avoids a second relayout pass over the full-resolution feature map
+    kp, kd = params["head_prob"], params["head_dist"]
+    fused = {
+        "kernel": jnp.concatenate(
+            [kp["kernel"].reshape(kp["kernel"].shape[-2:]),
+             kd["kernel"].reshape(kd["kernel"].shape[-2:])], axis=-1),
+        "bias": jnp.concatenate([kp["bias"], kd["bias"]]),
+    }
+    fused["kernel"] = fused["kernel"][None, None]
+    y = _head_1x1(feat, fused)                               # (H', W', 1+R)
+    prob = jax.nn.sigmoid(y[..., 0])                         # (H', W')
+    dist = y[..., 1:].reshape(-1, y.shape[-1] - 1)           # (H'W', R)
+
+    if net.n_classes is not None:
+        if net.net_conv_after_unet > 0:
+            feat_c = top_block(base, net.unet_activation)
+        else:
+            feat_c = base
+        pc = _head_1x1(feat_c, params["head_prob_class"])
+        pc = pc.reshape(-1, pc.shape[-1])
+        prob_class = jax.nn.softmax(pc, axis=-1)
+        return prob, dist, prob_class
+    return prob, dist

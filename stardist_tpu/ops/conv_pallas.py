@@ -1,0 +1,171 @@
+"""3x3 convolution as a Pallas TPU kernel, (H, C, W) "HCW" layout.
+
+Why this exists: XLA's NHWC convolution pads BOTH channel operands to the
+128-lane MXU width, so the reference U-Net topology (stardist/models/
+model2d.py:310-349; 32 filters at full resolution) runs at ~1/16 of MXU
+peak (~5-6 TF/s measured on v5e for C=32). Reformulated as a matmul
+
+    out[co, w] = sum_{dy,dx,ci} W[co, (dy,dx,ci)] * x[r+dy-1, ci, w+dx-1]
+
+with weights as LHS (M = C_out: the M dimension is 8-granular, no 128
+padding) and an im2col patch matrix (K = 9*C_in, N = W-tile) built in VMEM
+as RHS, the MXU runs at 75-100% K/N efficiency — ~10x faster for the C<=64
+layers that dominate the StarDist forward pass.
+
+Layout: activations are (H, C, W). H is the memref's *untiled* major dim, so
+the per-output-row loop indexes it dynamically for free; the (C, W) minor
+dims are exactly the (sublane, lane) tile, so channel-block writes into the
+patch matrix and dx-shifted lane slices are cheap static ops. The model
+wrapper (models/unet_chw.py) keeps the whole backbone in this layout.
+
+The input stays in HBM (`memory_space=ANY`); each grid step DMAs its
+(S+2, C, WT+2) halo window into VMEM scratch — overlapping windows need no
+host-side duplication.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_pad(n):
+    return -(-n // 128) * 128
+
+
+def _pick_tiles(C, Cout, H, W, vmem_budget=10 * 1024 * 1024):
+    """Choose (S, WT) so the working set fits in VMEM.
+
+    Working set: halo window (S+2, C, lane_pad(WT+2)) bf16, patch matrix
+    (9C, WT) bf16, out block (S, Cout, WT) bf16 — window and out are
+    double-buffered by the pipeline."""
+    WT = min(512, _lane_pad(W))
+    for S in (64, 32, 16, 8):
+        if S > max(8, H):
+            continue
+        win = (S + 2) * C * (WT + 128) * 2
+        patch = 9 * C * WT * 2
+        out = S * Cout * WT * 2 * 2
+        if win * 2 + patch + out <= vmem_budget:
+            return S, WT
+    return 8, min(256, WT)
+
+
+def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, win, patch, sem, *, C, Cout, S,
+                 WT, act):
+    """One grid step: out rows [i*S, i*S+S), cols [j*WT, j*WT+WT).
+
+    x_hbm: (Hp+2, C, Wp+2) padded input in HBM.
+    w_ref: (Cout, 9C) weight matrix, VMEM.
+    b_ref: (Cout, 1) bias, VMEM.
+    o_ref: (S, Cout, WT) output block, VMEM.
+    win:   (S+2, C, WT+128) scratch — halo window. HBM DMA lane slices must
+           be 128-aligned in offset and size, so the window is WT+128 wide
+           (start j*WT is aligned; only cols [0, WT+2) are used).
+    patch: (9C, WT) scratch — im2col rows for one output row.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # DMA the halo window: rows [i*S, i*S+S+2), cols [j*WT, j*WT+WT+128)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * S, S + 2), :, pl.ds(j * WT, WT + 128)],
+        win,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    def row(r, _):
+        # build the (9C, WT) patch matrix for output row r
+        for dy in range(3):
+            src = win[r + dy]                            # (C, WL)
+            for dx in range(3):
+                k = dy * 3 + dx
+                patch[pl.ds(k * C, C), :] = src[:, dx:dx + WT]
+        y = jax.lax.dot_general(
+            w_ref[:, :], patch[:, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Cout, WT)
+        y = y + b_ref[:, :]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "elu":
+            y = jnp.where(y > 0, y, jnp.expm1(y))
+        o_ref[r] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, S, row, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _conv2d_hcw_call(xp, wmat, bias, act, S, WT, out_shape, interpret=False):
+    Hp2, C, Wpad = xp.shape
+    Hp, Wp = Hp2 - 2, Wpad - 128
+    Cout = wmat.shape[0]
+    grid = (Hp // S, Wp // WT)
+    kern = functools.partial(_conv_kernel, C=C, Cout=Cout, S=S, WT=WT, act=act)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Hp, Cout, Wp), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Cout, 9 * C), lambda i, j: (0, 0)),
+            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, Cout, WT), lambda i, j: (i, 0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((S + 2, C, WT + 128), jnp.bfloat16),
+            pltpu.VMEM((9 * C, WT), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Hp * Wp * Cout * 9 * C,
+            bytes_accessed=Hp2 * C * Wpad * 2 + Hp * Cout * Wp * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wmat, bias)
+    return out[: out_shape[0], :, : out_shape[1]]
+
+
+def conv2d_hcw(x, w, b=None, act="relu", interpret=None):
+    """3x3 SAME convolution in (H, C, W) layout via the Pallas kernel.
+
+    x: (H, C, W) array (any float dtype; computed in bfloat16).
+    w: (3, 3, C, Cout) HWIO weights (the Flax param layout).
+    b: (Cout,) bias or None.
+    act: "relu" | "elu" | "linear".
+    Returns (H, Cout, W) bfloat16.
+    """
+    H, C, W = x.shape
+    kh, kw, wc, Cout = w.shape
+    assert (kh, kw) == (3, 3) and wc == C, (w.shape, x.shape)
+    # Mosaic requires (sublane) slices aligned to the bf16 packing tiling;
+    # pad the channel dim to a multiple of 8 (zero channels x zero weight
+    # rows contribute nothing). Only the C_in=1 first layer hits this.
+    Cp = -(-C // 8) * 8
+    if Cp != C:
+        x = jnp.pad(x, ((0, 0), (0, Cp - C), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+        C = Cp
+    S, WT = _pick_tiles(C, Cout, H, W)
+    Hp = -(-H // S) * S
+    Wp = -(-W // WT) * WT
+    # zero padding serves the SAME-conv halo, the tile round-up, and the
+    # 128-aligned DMA window width (last block reads cols up to Wp+128)
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((1, 1 + Hp - H), (0, 0), (1, 127 + Wp - W)))
+    # (3,3,C,Cout) -> (Cout, 9C) with K ordered (dy, dx, c) to match the
+    # patch assembly order in the kernel
+    wmat = jnp.transpose(w.astype(jnp.bfloat16), (3, 0, 1, 2)).reshape(Cout, 9 * C)
+    bias = (jnp.zeros((Cout, 1), jnp.float32) if b is None
+            else b.astype(jnp.float32).reshape(Cout, 1))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv2d_hcw_call(xp, wmat, bias, act, S, WT, (H, W), bool(interpret))
