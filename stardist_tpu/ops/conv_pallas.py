@@ -38,22 +38,24 @@ def _lane_pad(n):
     return -(-n // 128) * 128
 
 
-def _pick_tiles(C, Cout, H, W, vmem_budget=10 * 1024 * 1024):
+def _pick_tiles(C, Cout, H, W, vmem_budget=13 * 1024 * 1024):
     """Choose (S, WT) so the working set fits in VMEM.
 
     Working set: halo window (S+2, C, lane_pad(WT+2)) bf16, patch matrix
     (9C, WT) bf16, out block (S, Cout, WT) bf16 — window and out are
-    double-buffered by the pipeline."""
-    WT = min(512, _lane_pad(W))
-    for S in (64, 32, 16, 8):
-        if S > max(8, H):
+    double-buffered by the pipeline. Prefer the WIDEST WT that fits: the
+    per-row matmul has N = WT, and wide N amortizes MXU pipeline latency
+    (measured on v5e, 32ch@4096^2: WT 512 -> 17.8 ms, WT 4096 -> 9.5 ms)."""
+    for WT in (4096, 2048, 1024, 512, 256, 128):
+        if WT > _lane_pad(W):
             continue
-        win = (S + 2) * C * (WT + 128) * 2
-        patch = 9 * C * WT * 2
-        out = S * Cout * WT * 2 * 2
-        if win * 2 + patch + out <= vmem_budget:
-            return S, WT
-    return 8, min(256, WT)
+        for S in (16, 8):
+            win = (S + 2) * C * (WT + 128) * 2
+            patch = 9 * C * WT * 2
+            out = S * Cout * WT * 2 * 2
+            if win * 2 + patch + out <= vmem_budget:
+                return S, WT
+    return 8, 128
 
 
 def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, win, patch, sem, *, C, Cout, S,

@@ -704,6 +704,240 @@ def _peel_2d(dist, points, rank, valid, Q, NB, thresh, S=16):
     return defsurv, killed
 
 
+# -- striped two-pass peel ---------------------------------------------------
+#
+# The y-band peel above pays for ALL candidates within |dy| < T — on dense
+# fields that band is thousands wide although interactions also need
+# |dx| < T. Stripe decomposition recovers the 2D locality with 1D sorts:
+# partition the axis into stripes of height 2T at offsets 0 and T. Any pair
+# with |dy| < T lies inside ONE stripe of at least one partition (an
+# interval of length < T containing a boundary of one partition is strictly
+# inside a stripe of the other — boundaries alternate every T). Sorting each
+# partition by (stripe, x) makes same-stripe interacting pairs band-local
+# with band width ~ stripe_density * 2T (tens, not thousands). Each sweep
+# runs once per layout; results combine as ds = ds_a & ds_b (a definite
+# survivor must clear ALL potential suppressors) and killed = k_a | k_b.
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+def _peel_2d_fused(dist, points, rank, n_real, thresh, T, gap, x0,
+                   axis, Q, NB, S, CH, P):
+    """One-dispatch striped peel: stripe keys, both layout sorts, both
+    sweeps, and a compacted exact stage in a single jit (a multi-dispatch
+    version spent more on host round trips than on compute).
+
+    dist/points/rank are padded to a bucketed Npad (pad sentinels: dist
+    1e-3, points 1e9, rank 2^30); ``n_real`` is traced. ``T`` (the
+    interaction radius bound, > 2*max_dist), ``gap`` (> x-extent + 2T) and
+    ``x0`` are traced so per-image geometry never recompiles. Static: the
+    stripe axis, block size Q, band width NB (verified in-kernel, see
+    ``band_ok``), exact-stage sampling S, chunk CH, exact capacity P.
+
+    Returns (defsurv, killed, band_ok, n_todo) — base order. ``band_ok``
+    False means NB was too small for this field (caller retries with a
+    bigger bucket; results are invalid). Peeling is conservative: exact
+    kills beyond the P capacity are simply skipped.
+    """
+    Npad = dist.shape[0]
+    pad = NB * Q
+    n_blocks = Npad // Q
+    W = (2 * NB + 1) * Q
+    valid = jnp.arange(Npad) < n_real
+    y = points[:, axis]
+    x = points[:, 1 - axis]
+    area = polygon_areas(dist)
+    rin = _inner_radius_2d(dist)
+    rout = jnp.max(dist, axis=-1)
+    stripe_h = 2.0 * T
+    base_idx = jnp.arange(Npad, dtype=jnp.int32)
+
+    def padw(v, value):
+        return jnp.pad(v, (pad, pad), constant_values=value)
+
+    # -- per-layout data: one multi-operand sort carries every per-candidate
+    # scalar along with its stripe key (no gathers), then band-pad once ----
+    layouts = []
+    band_ok = jnp.bool_(True)
+    for off in (0.0, 0.5):
+        stripe = jnp.floor((y + off * stripe_h) / stripe_h)
+        key = jnp.where(valid, stripe * gap + (x - x0), jnp.inf)
+        (key_s, py_s, px_s, rout_s, rin_s, area_s, rank_s, perm) = \
+            jax.lax.sort((key, points[:, 0], points[:, 1], rout, rin, area,
+                          rank, base_idx), dimension=0, num_keys=1)
+        # band coverage: the element just outside each block's band must be
+        # farther than T in key space (pads sort to the end as +inf)
+        i0s = jnp.arange(n_blocks) * Q
+        i1s = i0s + Q - 1
+        li = i0s - pad - 1
+        ri = i1s + pad + 1
+        lkey = key_s[jnp.clip(li, 0, Npad - 1)]
+        rkey = key_s[jnp.clip(ri, 0, Npad - 1)]
+        l_ok = (li < 0) | ~jnp.isfinite(key_s[i0s]) | (lkey < key_s[i0s] - T)
+        r_ok = ((ri >= Npad) | ~jnp.isfinite(key_s[i1s])
+                | (rkey > key_s[i1s] + T))
+        band_ok = band_ok & jnp.all(l_ok & r_ok)
+        L = dict(
+            p=jnp.stack([padw(py_s, 1e9), padw(px_s, 1e9)], axis=-1),
+            rout=padw(rout_s, 1e-3), rin=padw(rin_s, 1e-3),
+            area=padw(area_s, 1.0),
+            rank=padw(rank_s, jnp.int32(2 ** 30)),
+            valid=padw(jnp.isfinite(key_s), False),
+            perm=perm, perm_pad=padw(perm, jnp.int32(-1)),
+        )
+        layouts.append(L)
+
+    # -- sweep 1: definite survivors (no earlier candidate within reach) ---
+    ds_base = valid
+    for L in layouts:
+        p_L, rout_L, rank_L, valid_L = L["p"], L["rout"], L["rank"], L["valid"]
+
+        def sweep1(b, ds):
+            i0 = b * Q
+            slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0 + pad, Q, 0)
+            slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+            p_r, rout_r, rank_r = slr(p_L), slr(rout_L), slr(rank_L)
+            p_c, rout_c = slc(p_L), slc(rout_L)
+            valid_c, rank_c = slc(valid_L), slc(rank_L)
+            d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
+            rr = rout_r[:, None] + rout_c[None]
+            earlier = (rank_c[None, :] < rank_r[:, None]) & valid_c[None, :]
+            reach = earlier & (d2 < rr * rr)
+            return jax.lax.dynamic_update_slice_in_dim(
+                ds, ~jnp.any(reach, axis=1), i0, 0)
+
+        ds_L = jax.lax.fori_loop(0, n_blocks, sweep1, jnp.zeros(Npad, bool))
+        ds_base = ds_base & jnp.zeros(Npad, bool).at[L["perm"]].set(ds_L)
+    defsurv = ds_base & valid
+
+    # -- sweep 2: lens lower-bound kills + nearest plausible survivor ------
+    killed = jnp.zeros(Npad, bool)
+    nn = jnp.full(Npad, -1, jnp.int32)
+    d2n = jnp.full(Npad, jnp.inf, jnp.float32)
+    for L in layouts:
+        p_L, rank_L = L["p"], L["rank"]
+        rin_L, rout_L, area_L = L["rin"], L["rout"], L["area"]
+        ds_L = padw(defsurv[L["perm"]], False)
+        perm_pad = L["perm_pad"]
+
+        def sweep2(b, carry):
+            kd, nnc, d2c = carry
+            i0 = b * Q
+            slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0 + pad, Q, 0)
+            slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
+            p_r, rank_r = slr(p_L), slr(rank_L)
+            rin_r, area_r, rout_r = slr(rin_L), slr(area_L), slr(rout_L)
+            p_c, rank_c = slc(p_L), slc(rank_L)
+            rin_c, area_c, rout_c = slc(rin_L), slc(area_L), slc(rout_L)
+            dsc = slc(ds_L)
+            d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
+            dc = jnp.sqrt(d2)
+            denom = jnp.minimum(area_r[:, None], area_c[None]) + 1e-10
+            lb = _lens_area_lb(rin_c[None], rin_r[:, None], dc) / denom
+            earlier_ds = dsc[None, :] & (rank_c[None, :] < rank_r[:, None])
+            kb = jnp.any(earlier_ds & (lb > thresh), axis=1)
+            # exact-stage neighbor: nearest whose lens UPPER bound clears
+            # the threshold (others provably cannot kill)
+            ub = _lens_area_ub(rout_c[None], rout_r[:, None], dc) / denom
+            plaus = earlier_ds & (ub > thresh)
+            d2m = jnp.where(plaus, d2, jnp.inf)
+            a = jnp.argmin(d2m, axis=1)
+            d2n_b = jnp.take_along_axis(d2m, a[:, None], axis=1)[:, 0]
+            nn_b = jnp.where(d2n_b < jnp.inf, jnp.take(perm_pad, i0 + a), -1)
+            return (jax.lax.dynamic_update_slice_in_dim(kd, kb, i0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(nnc, nn_b, i0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(d2c, d2n_b, i0, 0))
+
+        kd0 = (jnp.zeros(Npad, bool), jnp.full(Npad, -1, jnp.int32),
+               jnp.full(Npad, jnp.inf, jnp.float32))
+        kd_L, nn_L, d2_L = jax.lax.fori_loop(0, n_blocks, sweep2, kd0)
+        kd_b = jnp.zeros(Npad, bool).at[L["perm"]].set(kd_L)
+        nn_bse = jnp.full(Npad, -1, jnp.int32).at[L["perm"]].set(nn_L)
+        d2_bse = jnp.full(Npad, jnp.inf, jnp.float32).at[L["perm"]].set(d2_L)
+        killed = killed | kd_b
+        closer = d2_bse < d2n
+        nn = jnp.where(closer, nn_bse, nn)
+        d2n = jnp.where(closer, d2_bse, d2n)
+    killed = killed & valid & ~defsurv
+
+    # -- exact stage: compacted, capacity P --------------------------------
+    todo = (nn >= 0) & ~killed & ~defsurv & valid
+    n_todo = jnp.sum(todo.astype(jnp.int32))
+    ordr = jnp.argsort(~todo)              # stable: todo candidates first
+    idx = ordr[:P]
+    todo_s = todo[idx]
+    d_s = jnp.take(dist, idx, axis=0)
+    p_s = jnp.take(points, idx, axis=0)
+    a_s = jnp.take(area, idx, axis=0)
+    nn_s = jnp.take(nn, idx, axis=0)
+    lo, hi = polygon_bboxes(dist, points)
+    lo_s = jnp.take(lo, idx, axis=0)
+    hi_s = jnp.take(hi, idx, axis=0)
+    s_grid = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+
+    def exact_chunk(c, kill_sel):
+        i0 = c * CH
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, CH, 0)
+        nn_c = sl(nn_s)
+        i_idx = jnp.where(nn_c >= 0, nn_c, 0)
+        d_r, p_r = sl(d_s), sl(p_s)
+        lo_r, hi_r, a_r = sl(lo_s), sl(hi_s), sl(a_s)
+        d_c, p_c = dist[i_idx], points[i_idx]
+        lo_c, hi_c, a_c = lo[i_idx], hi[i_idx], area[i_idx]
+        plo = jnp.maximum(lo_r, lo_c)
+        phi2 = jnp.minimum(hi_r, hi_c)
+        extp = jnp.maximum(phi2 - plo, 0.0)
+        qr = plo[:, 0, None, None] + s_grid[:, None] * extp[:, 0, None, None]
+        qc = plo[:, 1, None, None] + s_grid[None, :] * extp[:, 1, None, None]
+        q = jnp.stack(jnp.broadcast_arrays(qr, qc), axis=-1).reshape(CH, S * S, 2)
+        in_r = points_in_polygons(d_r, p_r, q)
+        in_c = points_in_polygons(d_c, p_c, q)
+        frac = jnp.mean(in_r & in_c, axis=-1)
+        inter = frac * extp[:, 0] * extp[:, 1]
+        kill_c = sl(todo_s) & (nn_c >= 0) & (
+            inter / (jnp.minimum(a_r, a_c) + 1e-10) > thresh)
+        return jax.lax.dynamic_update_slice_in_dim(kill_sel, kill_c, i0, 0)
+
+    kill_sel = jax.lax.fori_loop(0, P // CH, exact_chunk,
+                                 jnp.zeros(P, bool))
+    killed = killed | jnp.zeros(Npad, bool).at[idx].set(kill_sel)
+    killed = killed & valid & ~defsurv
+    return defsurv, killed, band_ok, n_todo
+
+
+
+
+def _peel_2d_striped(dist, points, rank, thresh, T, Q=256, S=16):
+    """Striped two-pass peel driver (see block comment above): pad to a
+    bucketed size, run the fused kernel, retry with a wider band bucket in
+    the (rare) case the in-kernel coverage check fails. Returns
+    (defsurv, killed) host bool arrays in base order — identical peeling
+    semantics to `_peel_2d` (definite survivors must clear all interacting
+    pairs across BOTH layouts; kills only ever test against definite
+    survivors with the main kernel's own overlap estimator)."""
+    N = len(points)
+    points = np.asarray(points, np.float32)
+    axis = int(np.argmax(points.max(0) - points.min(0)))
+    x = points[:, 1 - axis]
+    x0 = float(x.min())
+    gap = float(x.max() - x0) + 2.0 * float(T) + 2.0
+    Npad = _bucket(N, minimum=2 * Q)
+    P = min(Npad, 131072)  # exact-stage capacity; spills just peel less
+    CH = min(4096, P)
+    dist_p = _pad(jnp.asarray(dist), Npad, value=1e-3)
+    points_p = jnp.asarray(_pad(points, Npad, value=1e9))
+    rank_p = jnp.asarray(_pad(np.asarray(rank, np.int32), Npad,
+                              value=2 ** 30))
+    for NB in (1, 2, 4, 8):
+        defsurv, killed, ok, _ = _peel_2d_fused(
+            dist_p, points_p, rank_p, jnp.int32(N), jnp.float32(thresh),
+            jnp.float32(T), jnp.float32(gap), jnp.float32(x0),
+            axis, Q, NB, S, CH, P)
+        if bool(jax.device_get(ok)):
+            return defsurv[:N], killed[:N]
+    # pathological clustering: fall back to "peel nothing" (still correct)
+    z = jnp.zeros(N, bool)
+    return z, z
+
 def _band_width_blocks(y_sorted, Q, T, n_real=None):
     """Smallest NB such that, for every Q-block of y-sorted candidates, all
     candidates within |dy| < T of the block live within +-NB blocks.
@@ -772,10 +1006,11 @@ def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
 
     keep_pos = None
     if peel and established == 0 and N > 4096:
-        defsurv, killed = _peel_2d(dj, pj, rj, valid, Q, NB, float(thresh))
-        defsurv_h, killed_h = jax.device_get((defsurv, killed))
-        killed_h = np.asarray(killed_h)[:N]
-        counters.update(n_peel_survivor=int(np.asarray(defsurv_h)[:N].sum()),
+        defsurv_b, killed_b = _peel_2d_striped(dist, points, rank,
+                                               float(thresh), T)
+        defsurv_h, killed_hb = jax.device_get((defsurv_b, killed_b))
+        killed_h = np.asarray(killed_hb)[order]   # -> banded (sorted) order
+        counters.update(n_peel_survivor=int(np.asarray(defsurv_h).sum()),
                         n_peel_suppressed=int(killed_h.sum()))
         if verbose:
             print(f"NMS: peel kept {N - int(killed_h.sum())}/{N} candidates "
