@@ -974,6 +974,158 @@ def _bucket_nb(nb):
     return b
 
 
+@functools.partial(jax.jit, static_argnums=tuple(range(8, 19)))
+def _nms_2d_onepass(dist, points, rank, n_real, thresh, T, gap, x0,
+                    axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb):
+    """Full large-N 2D NMS in ONE device dispatch: striped peel, on-device
+    remainder compaction + re-band (one sort, no host round trip), banded
+    greedy kernel, scatter back to base (score) order.
+
+    The previous driver (`_nms_polygons_device_banded`) synced twice between
+    peel and banded kernel to re-band the remainder on the host — through a
+    high-latency TPU tunnel those round trips cost several times the actual
+    device compute. Here every shape decision is a static capacity with an
+    in-kernel validity flag, so the host only inspects the FINAL result and
+    retries (rare, compile-cached) on overflow.
+
+    Static capacities: peel stripe-band NB at block Q, exact-stage chunk
+    CH / capacity P (peel, see `_peel_2d_fused`); remainder capacity R,
+    banded block Qb, band width NB2, compaction capacities A_max / Pb.
+
+    Returns (keep, flags, stats) with flags = (peel_band_ok, fits,
+    band_ok2) and stats = (n_defsurv, n_killed, n_rem, max_amb,
+    max_pairs); `keep` is only meaningful when all flags are True.
+    """
+    Npad = dist.shape[0]
+    dist = dist.astype(jnp.float32)
+    defsurv, killed, peel_ok, _ = _peel_2d_fused(
+        dist, points, rank, n_real, thresh, T, gap, x0,
+        axis, Q, NB, S, CH, P)
+    valid = jnp.arange(Npad) < n_real
+    rem = valid & ~killed          # definite survivors stay (they suppress)
+    n_rem = jnp.sum(rem.astype(jnp.int32))
+    fits = n_rem <= R
+
+    # -- on-device compaction + re-band: one multi-operand sort moves the
+    # remainder (sorted by the spatial axis) to the front ------------------
+    key = jnp.where(rem, points[:, axis], jnp.inf)
+    base_idx = jnp.arange(Npad, dtype=jnp.int32)
+    key_s, py_s, px_s, rank_s, perm = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], rank, base_idx),
+        dimension=0, num_keys=1)
+    keyR = key_s[:R]
+    permR = perm[:R]
+    pR = jnp.stack([py_s[:R], px_s[:R]], axis=-1)
+    rankR = rank_s[:R]
+    validR = jnp.arange(R) < n_rem
+    dR = jnp.take(dist, permR, axis=0)
+
+    # band coverage at static NB2: the element just outside every Qb-block's
+    # +-NB2-block window must be farther than T along the axis (pad slots
+    # sort to the end as +inf and need no coverage)
+    nb_pad = NB2 * Qb
+    i0s = jnp.arange(R // Qb) * Qb
+    i1s = i0s + Qb - 1
+    li = i0s - nb_pad - 1
+    ri = i1s + nb_pad + 1
+    lkey = keyR[jnp.clip(li, 0, R - 1)]
+    rkey = keyR[jnp.clip(ri, 0, R - 1)]
+    l_ok = (li < 0) | ~jnp.isfinite(keyR[i0s]) | (lkey < keyR[i0s] - T)
+    r_ok = (ri >= R) | ~jnp.isfinite(keyR[i1s]) | (rkey > keyR[i1s] + T)
+    band_ok2 = jnp.all(l_ok & r_ok)
+
+    suppressedR, max_amb, max_pairs = _greedy_nms_2d_banded(
+        dR, pR, rankR, validR, jnp.int32(0), thresh, Qb, NB2, A_max, Pb, S)
+
+    # scatter the banded verdict back to base order; killed/pad slots stay
+    # False (slots beyond R only matter when not fits -> host retries)
+    keep = jnp.zeros(Npad, bool).at[permR].set(validR & ~suppressedR)
+    stats = (jnp.sum(defsurv.astype(jnp.int32)),
+             jnp.sum(killed.astype(jnp.int32)), n_rem, max_amb, max_pairs)
+    return keep, (peel_ok, fits, band_ok2), stats
+
+
+def _nms_polygons_device_onepass(dist, points, thresh, samples=16, Q=256,
+                                 Qb=512, verbose=False, dist_max=None,
+                                 band_bytes_cap=6 << 30):
+    """Driver for `_nms_2d_onepass`: pad/bucket once, dispatch, inspect the
+    validity flags, retry with the next capacity bucket on overflow. Warm
+    path = ONE dispatch + ONE small device->host transfer. Returns the keep
+    mask in the caller's (score) order, or None to fall back."""
+    N = len(dist)
+    points = np.asarray(points, np.float32)
+    axis = int(np.argmax(points.max(0) - points.min(0)))
+    x = points[:, 1 - axis]
+    x0 = float(x.min())
+    T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
+    gap = float(x.max() - x0) + 2.0 * T + 2.0
+    Npad = _bucket(N, minimum=2 * Q)
+    P = min(Npad, 131072)
+    CH = min(4096, P)
+    dist_p = _pad(jnp.asarray(dist), Npad, value=1e-3)
+    points_p = jnp.asarray(_pad(points, Npad, value=1e9))
+    rank_p = jnp.asarray(_pad(np.arange(N, dtype=np.int32), Npad,
+                              value=2 ** 30))
+    counters = LAST_NMS_COUNTERS
+    counters.update(n_candidates=N, n_peel_survivor=0, n_peel_suppressed=0)
+
+    NB, NB2 = 1, 2
+    # start from the last working remainder fraction (in 16ths of Npad):
+    # fields from the same workload peel similarly, so the warm path is one
+    # dispatch with no fits-retry
+    frac16 = _RETRY_CAPS.get("onepass_R16", 2)
+    R = min(Npad, max(2 * Qb, Npad * frac16 // 16))
+    cached = _RETRY_CAPS.get("onepass")
+    A_max, Pb = cached if cached is not None else (64, 1024)
+    for _ in range(12):
+        W2 = (2 * NB2 + 1) * Qb
+        if R * W2 * 2 > band_bytes_cap:
+            return None
+        keep, flags, stats = jax.device_get(_nms_2d_onepass(
+            dist_p, points_p, rank_p, jnp.int32(N), jnp.float32(thresh),
+            jnp.float32(T), jnp.float32(gap), jnp.float32(x0),
+            axis, Q, NB, samples, CH, P, R, Qb, NB2, A_max, Pb))
+        peel_ok, fits, band_ok2 = (bool(f) for f in flags)
+        n_defsurv, n_killed, n_rem, max_amb, max_pairs = (int(s) for s in stats)
+        if peel_ok and fits and band_ok2 and max_amb <= A_max and \
+                max_pairs <= Pb:
+            _RETRY_CAPS["onepass"] = (A_max, Pb)
+            _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
+                if R < Npad else 16
+            counters.update(n_peel_survivor=n_defsurv,
+                            n_peel_suppressed=n_killed)
+            out = np.asarray(keep)[:N]
+            counters["n_survivors"] = int(out.sum())
+            if verbose:
+                print(f"NMS(onepass): peel kept {n_rem}/{N}, "
+                      f"{int(out.sum())} survivors", flush=True)
+            return out
+        if verbose:
+            print(f"NMS(onepass): retry (peel_ok={peel_ok} fits={fits} "
+                  f"band_ok2={band_ok2} amb={max_amb}/{A_max} "
+                  f"pairs={max_pairs}/{Pb})", flush=True)
+        if not peel_ok:
+            if NB >= 8:
+                return None
+            NB *= 2
+        elif not fits:
+            if R >= Npad:
+                return None
+            R = min(Npad, R * 2)
+        elif not band_ok2:
+            if NB2 >= 8:
+                return None
+            NB2 = min(8, NB2 * 2)
+        else:
+            if max_amb > A_max:
+                if max_amb > 4096:
+                    return None
+                A_max = min(_bucket(max_amb, minimum=64), W2)
+            if max_pairs > Pb:
+                Pb = min(_bucket(max_pairs, minimum=1024), Qb * A_max)
+    return None
+
+
 def _nms_polygons_device_banded(dist, points, thresh, samples, Q=512,
                                 amb_max=128, amb_cap=4096, pair_slots=8192,
                                 verbose=False, established=0, rank=None,
@@ -1176,6 +1328,11 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
     rounds as the fallback when the band is too wide (bounded compile sizes)."""
     N = len(dist)
     if N > 2048:
+        keep = _nms_polygons_device_onepass(dist, points, thresh,
+                                            samples=samples, verbose=verbose,
+                                            dist_max=dist_max)
+        if keep is not None:
+            return keep
         keep = _nms_polygons_device_banded(dist, points, thresh, samples,
                                            amb_cap=amb_cap, verbose=verbose,
                                            dist_max=dist_max)

@@ -128,6 +128,40 @@ def test_peel_preserves_greedy_exactness():
     assert LAST_NMS_COUNTERS["n_survivors"] == int(b.sum())
 
 
+@pytest.mark.parametrize("n,thresh", [(3000, 0.4), (8000, 0.3)])
+def test_onepass_nms_equals_blocked(n, thresh):
+    """The single-dispatch fused NMS (peel + on-device remainder compaction
+    + banded kernel, ops/nms.py _nms_2d_onepass) must match the host blocked
+    path exactly."""
+    from stardist_tpu.ops.nms import (_nms_polygons_device_onepass,
+                                      LAST_NMS_COUNTERS)
+
+    dist, points, scores = _clustered_candidates(n, seed=n + 1)
+    a = nms_polygons(dist, points, scores=scores, thresh=thresh,
+                     device_nms=False)
+    b = _nms_polygons_device_onepass(dist, points, thresh)
+    assert b is not None
+    assert np.array_equal(a, b), (a.sum(), b.sum(), np.flatnonzero(a != b)[:10])
+    assert LAST_NMS_COUNTERS["n_survivors"] == int(b.sum())
+    assert LAST_NMS_COUNTERS["n_peel_suppressed"] > 0
+
+
+def test_onepass_nms_dense_field_retries_capacities():
+    """A poorly-peeling uniform-random field forces the remainder-capacity
+    (fits) retry ladder; the result must still be exact."""
+    from stardist_tpu.ops.nms import _nms_polygons_device_onepass, _RETRY_CAPS
+
+    _RETRY_CAPS.pop("onepass_R16", None)   # force the optimistic start
+    dist, points, scores = _candidates(4000, seed=13, spread=1500)
+    a = nms_polygons(dist, points, scores=scores, thresh=0.4,
+                     device_nms=False)
+    b = _nms_polygons_device_onepass(dist, points, 0.4)
+    assert b is not None
+    assert np.array_equal(a, b)
+    # the working remainder fraction is cached for the next call
+    assert _RETRY_CAPS.get("onepass_R16", 0) >= 2
+
+
 def test_banded_nms_horizontal_strip_uses_wide_axis():
     # all candidates in one horizontal strip: banding along y would cover
     # everything, but the driver picks the larger-extent axis (x) and the
