@@ -987,6 +987,9 @@ class StarDistBase:
         # jitted closures capture the net; clear caches
         self._sparse_extract_fn.cache_clear()
         self._forward_fn.cache_clear()
+        fused = getattr(self, "_device_instances_fn", None)
+        if fused is not None and hasattr(fused, "cache_clear"):
+            fused.cache_clear()
 
     @functools.lru_cache(maxsize=None)
     def _sparse_extract_fn(self, K, b_key, multiclass):
@@ -1103,6 +1106,27 @@ class StarDistBase:
         if multiclass:
             return vals, d, points, outs[6][:n_valid]
         return vals, d, points
+
+    def _device_border_key(self, b, x, axes_net, resizer):
+        """Per-axis (lo, hi) candidate exclusion (output-grid units) for the
+        device-side extraction mask: the user border ``b`` plus the resizer's
+        end padding — folds ``resizer.filter_points`` into the kernel so no
+        host-side point filtering is needed."""
+        sp_axes = [a for a in axes_net if a != "C"]
+        if np.isscalar(b) or b is None:
+            b_tup = ((b, b) if b is not None else (-1, -1),) * len(sp_axes)
+        else:
+            b_tup = tuple(b)
+        bs = []
+        for (blo, bhi), a, g, sp in zip(
+                b_tup, sp_axes, self.config.grid,
+                [s for s, a in zip(x.shape, axes_net) if a != "C"]):
+            bound = resizer.padded_shape[a] - resizer.pad[a][1]
+            ub_grid = (bound - 1) // g + 1
+            sg = sp // g
+            bs.append((blo, max(bhi if bhi is not None and bhi > 0 else 0,
+                                sg - ub_grid)))
+        return tuple(bs)
 
     def _predict_setup(self, img, axes, normalizer, n_tiles, show_tile_progress, predict_kwargs):
         if n_tiles is None:
@@ -1279,26 +1303,8 @@ class StarDistBase:
                     prob_classa.extend(res[3])
                 yield
         else:
-            b_eff = b
-            if device_dist:
-                # fold the padded-region filter (resizer.filter_points) into
-                # the device-side mask: exclude grid cells whose pixel
-                # coordinate lands in the end-padding
-                sp_axes = [a for a in axes_net if a != "C"]
-                if np.isscalar(b) or b is None:
-                    b_tup = ((b, b) if b is not None else (-1, -1),) * len(sp_axes)
-                else:
-                    b_tup = tuple(b)
-                bs = []
-                for (blo, bhi), a, g, sp in zip(
-                        b_tup, sp_axes, self.config.grid,
-                        [s for s, a in zip(x.shape, axes_net) if a != "C"]):
-                    bound = resizer.padded_shape[a] - resizer.pad[a][1]
-                    ub_grid = (bound - 1) // g + 1
-                    sg = sp // g
-                    bs.append((blo, max(bhi if bhi is not None and bhi > 0 else 0,
-                                        sg - ub_grid)))
-                b_eff = tuple(bs)
+            b_eff = self._device_border_key(b, x, axes_net, resizer) \
+                if device_dist else b
             res = self._sparse_extract_np(x, prob_thresh, b_eff,
                                           max_candidates=max_candidates,
                                           device_dist=device_dist)

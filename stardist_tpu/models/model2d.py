@@ -7,8 +7,10 @@ to the training loop and the TPU instance-prediction pipeline.
 """
 from __future__ import annotations
 
+import functools
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import zoom
@@ -360,6 +362,273 @@ class StarDist2D(StarDistBase):
             res_dict.update(dict(class_prob=prob_class, class_id=np.argmax(prob_class, axis=-1)))
 
         return labels, res_dict
+
+    # -- fully device-resident prediction ----------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _device_instances_fn(self, K, b_key, nms_statics, M, W, chunk, shape):
+        """One jitted device program for the ENTIRE instance-prediction
+        pipeline: forward pass, sparse candidate extraction (threshold +
+        border + top-K), fused NMS (striped peel + on-device re-band +
+        banded greedy kernel), survivor compaction and packed-label
+        rasterization. No intermediate touches the host; every
+        data-dependent size decision is a static capacity with an in-kernel
+        validity flag the (host) caller inspects once per image.
+
+        ``nms_statics`` = (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb)
+        as in ops/nms.py ``_nms_2d_onepass``; ``M`` = survivor slot
+        capacity, ``W`` = raster window, ``shape`` = output label shape.
+        """
+        from ..ops.nms import _bucket, _nms_2d_onepass_traced
+        from ..ops.rasterize import _raster2d_packed_dyn
+        extract = self._sparse_extract_fn(K, b_key, False)
+        grid = tuple(int(g) for g in self.config.grid)
+        (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb) = nms_statics
+        # top_k requires K <= n output pixels, but the NMS kernels want
+        # power-of-two-bucketed shapes (compile-cache hits): pad up on device
+        Npad = _bucket(K, minimum=2 * Q)
+
+        @jax.jit
+        def run(params, extra_vars, x, prob_thresh, nms_thresh):
+            vals, d, points, valid, n_above, dmax = extract(
+                params, extra_vars, x, prob_thresh)
+            if Npad > K:
+                d = jnp.pad(d, ((0, Npad - K), (0, 0)), constant_values=1e-3)
+                points = jnp.pad(points, ((0, Npad - K), (0, 0)))
+                vals = jnp.pad(vals, (0, Npad - K), constant_values=-1.0)
+                valid = jnp.pad(valid, (0, Npad - K))
+            # host candidate-order contract (nms.py non_maximum_suppression_
+            # sparse): np.argsort(prob, kind="stable")[::-1] — descending
+            # prob with TIES in descending list order; top_k gives ties in
+            # ascending order, so re-sort by (-prob, -index)
+            iota = jnp.arange(Npad, dtype=jnp.int32)
+            _, _, perm_h = jax.lax.sort((-vals, -iota, iota), dimension=0,
+                                        num_keys=2)
+            vals = jnp.take(vals, perm_h, axis=0)
+            d = jnp.take(d, perm_h, axis=0)
+            points = jnp.take(points, perm_h, axis=0)
+            valid = jnp.take(valid, perm_h, axis=0)
+            n_valid = jnp.minimum(n_above, K).astype(jnp.int32)
+            keep, nms_flags, stats = _nms_2d_onepass_traced(
+                d, points, n_valid, dmax, nms_thresh, grid,
+                axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb)
+            kf = keep & valid
+            n_surv = jnp.sum(kf.astype(jnp.int32))
+            # compact survivors (already in descending-prob = NMS rank order)
+            # into M fixed slots via one stable sort
+            surv_rank = jnp.cumsum(kf.astype(jnp.int32)) - 1
+            key = jnp.where(kf, surv_rank, jnp.int32(2 ** 30))
+            _, perm = jax.lax.sort(
+                (key, jnp.arange(Npad, dtype=jnp.int32)), dimension=0,
+                num_keys=1)
+            Me = min(M, Npad)  # static; there are at most Npad survivors
+            permM = perm[:Me]
+            slot = jnp.arange(Me, dtype=jnp.int32)
+            validM = slot < n_surv
+            dM = jnp.take(d, permM, axis=0)
+            pM = jnp.take(points, permM, axis=0).astype(jnp.float32) \
+                * jnp.asarray(grid, jnp.float32)[None]
+            probM = jnp.where(validM, jnp.take(vals, permM, axis=0), 0.0)
+            # raster ordering contract (geometry/geom2d.py _render_polygons):
+            # order value = rank in a STABLE ascending-prob sort (+1), so for
+            # tied probs the later candidate wins the scatter-max exactly like
+            # the host's np.argsort(prob, kind="stable"); pixel value =
+            # descending-prob index + 1
+            sort_prob = jnp.where(validM, probM, -1.0)  # invalid slots first
+            _, ind = jax.lax.sort((sort_prob, slot), dimension=0, num_keys=1)
+            pos = jnp.zeros(Me, jnp.int32).at[ind].set(slot + 1)
+            order_vals = jnp.where(validM, pos - (Me - n_surv), 0)
+            labsM = jnp.where(validM, slot + 1, 0)
+            labels_img = _raster2d_packed_dyn(
+                dM, pM, order_vals, labsM, n_surv, shape, W, chunk)
+            fits_surv = n_surv <= jnp.minimum(Me, 2 ** 15 - 1)
+            # dist is in full-resolution pixels (targets are computed on the
+            # full-res labels); the window must cover the largest polygon
+            w_ok = 2.0 * dmax + 4.0 <= jnp.float32(W)
+            flags = nms_flags + (fits_surv, w_ok)
+            return labels_img, dM, pM, probM, n_surv, n_above, dmax, flags, stats
+
+        return run
+
+    def predict_instances_device(self, img, axes=None, normalizer=None,
+                                 prob_thresh=None, nms_thresh=None, b=2,
+                                 verbose=False, fetch=True):
+        """Instance prediction with the whole pipeline resident on device:
+        ONE jitted dispatch runs forward pass, candidate extraction, NMS and
+        label rasterization (`_device_instances_fn`); the host only uploads
+        the image and reads back a handful of scalars (validity flags +
+        counts). Retries with the next capacity bucket on overflow
+        (compile-cached), falling back to :meth:`predict_instances` when the
+        field exceeds the device path's limits (>2^15 survivors).
+
+        Returns ``(labels, details)`` like :meth:`predict_instances`. With
+        ``fetch=False`` the label image and the candidate arrays in
+        ``details`` are returned as device (jax) arrays — for serving
+        pipelines that keep post-processing on device, and for benchmarking
+        the device-resident path without the D2H transfer.
+
+        TPU-native counterpart of the reference's predict->NMS->render flow
+        (stardist/models/base.py:645-772) with zero host round trips in the
+        steady state.
+        """
+        from ..ops.nms import _RETRY_CAPS, _bucket, LAST_NMS_COUNTERS
+        if self._is_multiclass():
+            raise NotImplementedError(
+                "predict_instances_device does not support multiclass yet; "
+                "use predict_instances")
+        if prob_thresh is None:
+            prob_thresh = self.thresholds.prob
+        if nms_thresh is None:
+            nms_thresh = self.thresholds.nms
+
+        grid = tuple(self.config.grid)
+        if isinstance(img, jax.Array):
+            # pre-staged device input (serving fast path): already
+            # normalized, (Y, X) or (Y, X, C), spatial dims divisible by the
+            # network stride — zero host-side image work before the dispatch
+            if normalizer is not None or axes not in (None, "YX", "YXC"):
+                raise ValueError("device-array input must be pre-normalized "
+                                 "with default axes")
+            x_dev = img[..., None] if img.ndim == 2 else img
+            if x_dev.ndim != 3 or x_dev.shape[-1] != self.config.n_channel_in:
+                raise ValueError(
+                    f"expected (Y, X[, C={self.config.n_channel_in}]) input")
+            div_by = self._axes_div_by("YX")
+            if any(s % d for s, d in zip(x_dev.shape[:2], div_by)):
+                raise ValueError("device-array input spatial dims must be "
+                                 f"divisible by {div_by}")
+            shape_inst = tuple(int(s) for s in x_dev.shape[:2])
+            x_shape = tuple(x_dev.shape)
+            x_dev = x_dev[None]
+            if np.isscalar(b) or b is None:
+                b_key = (((b, b) if b is not None else (-1, -1)),) * 2
+            else:
+                b_key = tuple((int(lo), int(hi)) for lo, hi in b)
+        else:
+            (x, axes, axes_net, axes_net_div_by, _permute_axes, resizer,
+             n_tiles, _grid, grid_dict, channel, tiling_setup) = \
+                self._predict_setup(img, axes, normalizer, None, False, {})
+            shape_inst = tuple(s for s, a in zip(_permute_axes(img).shape,
+                                                 axes_net) if a != "C")
+            b_key = self._device_border_key(b, x, axes_net, resizer)
+            x_shape = x.shape
+            tdt = getattr(self, "transfer_dtype", None)
+            x_up = x[np.newaxis].astype(tdt) if tdt is not None \
+                else x[np.newaxis]
+            x_dev = jnp.asarray(x_up)
+
+        # top_k caps K at the number of output pixels; the fused fn pads the
+        # NMS shapes up to the next power-of-two bucket internally
+        out_size = int(np.prod([s // g for s, g in zip(x_shape[:-1], grid)]))
+        caps = getattr(self, "_device_predict_caps", None)
+        if caps is None:
+            caps = self._device_predict_caps = {}
+        K = min(caps.get("K", self._extract_k0), out_size)
+        M = caps.get("M", 16384)
+        Wwin = caps.get("W", 64)
+        NB, NB2 = caps.get("NB", 1), caps.get("NB2", 2)
+        A_max, Pb = _RETRY_CAPS.get("onepass", (64, 1024))
+        Q, Qb, S, chunk = 256, 512, 16, 256
+        axis = 0 if shape_inst[0] >= shape_inst[1] else 1
+        Npad = _bucket(K, minimum=2 * Q)
+        P_cap0 = min(Npad, 131072)
+        P = min(P_cap0, _bucket(_RETRY_CAPS.get("onepass_todo", P_cap0),
+                                minimum=16384))
+        R = min(Npad, max(2 * Qb, Npad * _RETRY_CAPS.get("onepass_R16", 2) // 16))
+
+        pt, nt = jnp.float32(prob_thresh), jnp.float32(nms_thresh)
+        for _ in range(16):
+            Npad = _bucket(K, minimum=2 * Q)
+            P_cap = min(Npad, 131072)
+            P = min(P, P_cap)
+            CH = min(4096, P)
+            R = min(R, Npad)
+            fn = self._device_instances_fn(
+                K, b_key, (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb),
+                M, Wwin, chunk, shape_inst)
+            outs = fn(self.params, self._extra_vars, x_dev, pt, nt)
+            labels_dev, dM, pM, probM = outs[:4]
+            n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:])
+            n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
+            peel_ok, fits, band_ok2, fits_surv, w_ok = (bool(f) for f in flags)
+            (n_defsurv, n_killed, n_rem, max_amb, max_pairs,
+             n_todo) = (int(s) for s in stats)
+            retried = False
+            if n_above > K:
+                if K >= out_size:
+                    break  # cannot happen: n_above <= out_size
+                K = min(out_size, 1 << int(np.ceil(np.log2(n_above))))
+                retried = True
+            if not peel_ok:
+                if NB >= 8:
+                    break
+                NB *= 2
+                retried = True
+            elif not fits:
+                if P < P_cap and n_todo > P:
+                    P = P_cap
+                elif R >= Npad:
+                    break
+                else:
+                    R = min(Npad, R * 2)
+                retried = True
+            elif not band_ok2:
+                if NB2 >= 8:
+                    break
+                NB2 = min(8, NB2 * 2)
+                retried = True
+            elif max_amb > A_max or max_pairs > Pb:
+                if max_amb > 4096:
+                    break
+                A_max = min(_bucket(max(max_amb, A_max), minimum=64),
+                            (2 * NB2 + 1) * Qb)
+                Pb = min(_bucket(max(max_pairs, Pb), minimum=1024), Qb * A_max)
+                retried = True
+            if not fits_surv:
+                if n_surv > 2 ** 15 - 1:
+                    break  # beyond the packed-raster limit: host path
+                M = 1 << int(np.ceil(np.log2(n_surv)))
+                retried = True
+            if not w_ok:
+                need = 2.0 * dmax + 4.0
+                Wwin = max(16, int(np.ceil(need / 16)) * 16)
+                retried = True
+            if retried:
+                continue
+            # success: remember the working capacities
+            caps.update(K=K, M=M, W=Wwin, NB=NB, NB2=NB2)
+            _RETRY_CAPS["onepass"] = (A_max, Pb)
+            _RETRY_CAPS["onepass_todo"] = n_todo
+            _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
+                if R < Npad else 16
+            LAST_NMS_COUNTERS.clear()
+            LAST_NMS_COUNTERS.update(
+                n_candidates=min(n_above, K), n_peel_survivor=n_defsurv,
+                n_peel_suppressed=n_killed, n_survivors=n_surv)
+            if verbose:
+                print(f"device predict: {min(n_above, K)} candidates, peel "
+                      f"kept {n_rem}, {n_surv} survivors", flush=True)
+            details = dict(dist=dM[:n_surv], points=pM[:n_surv],
+                           prob=probM[:n_surv],
+                           nms_counters=dict(LAST_NMS_COUNTERS))
+            if fetch:
+                dist_h, points_h, prob_h = (np.asarray(a) for a in jax.device_get(
+                    (details["dist"], details["points"], details["prob"])))
+                details.update(dist=dist_h,
+                               points=points_h.astype(np.int32),
+                               prob=prob_h,
+                               coord=dist_to_coord(dist_h, points_h))
+                labels = np.asarray(labels_dev).astype(np.int32)
+            else:
+                labels = labels_dev
+            return labels, details
+        # capacity cascade exhausted (or unsupported field): host-orchestrated path
+        if isinstance(img, jax.Array):
+            img = np.asarray(img)
+        return self.predict_instances(img, axes=axes, normalizer=normalizer,
+                                      prob_thresh=prob_thresh,
+                                      nms_thresh=nms_thresh,
+                                      show_tile_progress=False)
 
     def _axes_div_by(self, query_axes):
         if self.config.backbone != "unet":

@@ -998,7 +998,7 @@ def _nms_2d_onepass(dist, points, rank, n_real, thresh, T, gap, x0,
     """
     Npad = dist.shape[0]
     dist = dist.astype(jnp.float32)
-    defsurv, killed, peel_ok, _ = _peel_2d_fused(
+    defsurv, killed, peel_ok, n_todo = _peel_2d_fused(
         dist, points, rank, n_real, thresh, T, gap, x0,
         axis, Q, NB, S, CH, P)
     valid = jnp.arange(Npad) < n_real
@@ -1041,8 +1041,37 @@ def _nms_2d_onepass(dist, points, rank, n_real, thresh, T, gap, x0,
     # False (slots beyond R only matter when not fits -> host retries)
     keep = jnp.zeros(Npad, bool).at[permR].set(validR & ~suppressedR)
     stats = (jnp.sum(defsurv.astype(jnp.int32)),
-             jnp.sum(killed.astype(jnp.int32)), n_rem, max_amb, max_pairs)
+             jnp.sum(killed.astype(jnp.int32)), n_rem, max_amb, max_pairs,
+             n_todo)
     return keep, (peel_ok, fits, band_ok2), stats
+
+
+@functools.partial(jax.jit, static_argnums=tuple(range(5, 17)))
+def _nms_2d_onepass_traced(dist, points, n_real, dmax, thresh,
+                           grid, axis, Q, NB, S, CH, P, R, Qb, NB2,
+                           A_max, Pb):
+    """`_nms_2d_onepass` with every per-image scalar computed in-trace, for
+    the device-resident predict pipeline (models/model2d.py
+    ``predict_instances_device``): consumes the sparse-extraction outputs
+    directly (grid-unit integer points, traced candidate count and max
+    dist), so the NMS dispatch needs NO host-side inspection of the
+    candidate field. ``grid`` is the static (gy, gx) subsampling factor."""
+    Npad = dist.shape[0]
+    valid = jnp.arange(Npad) < n_real
+    pts = points.astype(jnp.float32) * jnp.asarray(grid, jnp.float32)[None]
+    pts = jnp.where(valid[:, None], pts, 1e9)
+    T = 2.0 * dmax.astype(jnp.float32) + 1.0
+    x = pts[:, 1 - axis]
+    x0 = jnp.min(jnp.where(valid, x, jnp.inf))
+    xmax = jnp.max(jnp.where(valid, x, -jnp.inf))
+    x0 = jnp.where(jnp.isfinite(x0), x0, 0.0)
+    gap = jnp.maximum(xmax - x0, 0.0) + 2.0 * T + 2.0
+    rank = jnp.where(valid, jnp.arange(Npad, dtype=jnp.int32),
+                     jnp.int32(2 ** 30))
+    keep, flags, stats = _nms_2d_onepass(
+        jnp.maximum(dist.astype(jnp.float32), 1e-3), pts, rank, n_real,
+        thresh, T, gap, x0, axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb)
+    return keep, flags, stats
 
 
 def _nms_polygons_device_onepass(dist, points, thresh, samples=16, Q=256,
@@ -1060,7 +1089,12 @@ def _nms_polygons_device_onepass(dist, points, thresh, samples=16, Q=256,
     T = 2.0 * float(dist.max() if dist_max is None else dist_max) + 1.0
     gap = float(x.max() - x0) + 2.0 * T + 2.0
     Npad = _bucket(N, minimum=2 * Q)
-    P = min(Npad, 131072)
+    # peel exact-stage capacity: start from the last observed todo count
+    # (bucketed) instead of the worst case — exact-stage cost is linear in P
+    # and a too-small P only peels less (the banded stage stays exact)
+    P_cap = min(Npad, 131072)
+    P = min(P_cap, _bucket(_RETRY_CAPS.get("onepass_todo", P_cap),
+                           minimum=16384))
     CH = min(4096, P)
     dist_p = _pad(jnp.asarray(dist), Npad, value=1e-3)
     points_p = jnp.asarray(_pad(points, Npad, value=1e9))
@@ -1086,12 +1120,14 @@ def _nms_polygons_device_onepass(dist, points, thresh, samples=16, Q=256,
             jnp.float32(T), jnp.float32(gap), jnp.float32(x0),
             axis, Q, NB, samples, CH, P, R, Qb, NB2, A_max, Pb))
         peel_ok, fits, band_ok2 = (bool(f) for f in flags)
-        n_defsurv, n_killed, n_rem, max_amb, max_pairs = (int(s) for s in stats)
+        (n_defsurv, n_killed, n_rem, max_amb, max_pairs,
+         n_todo) = (int(s) for s in stats)
         if peel_ok and fits and band_ok2 and max_amb <= A_max and \
                 max_pairs <= Pb:
             _RETRY_CAPS["onepass"] = (A_max, Pb)
             _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
                 if R < Npad else 16
+            _RETRY_CAPS["onepass_todo"] = n_todo
             counters.update(n_peel_survivor=n_defsurv,
                             n_peel_suppressed=n_killed)
             out = np.asarray(keep)[:N]
@@ -1109,9 +1145,15 @@ def _nms_polygons_device_onepass(dist, points, thresh, samples=16, Q=256,
                 return None
             NB *= 2
         elif not fits:
-            if R >= Npad:
+            if P < P_cap and n_todo > P:
+                # the capped exact stage peeled less than usual; restore the
+                # full capacity before growing the remainder buffer
+                P = P_cap
+                CH = min(4096, P)
+            elif R >= Npad:
                 return None
-            R = min(Npad, R * 2)
+            else:
+                R = min(Npad, R * 2)
         elif not band_ok2:
             if NB2 >= 8:
                 return None

@@ -97,6 +97,49 @@ def _raster2d_impl(dist, points, vals, labs, shape, W, chunk, scale_dist,
     return img, cnt
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _raster2d_packed_dyn(dist, points, vals, labs, n_valid, shape, W, chunk):
+    """Packed-label 2D splat raster with a TRACED candidate count: the chunk
+    loop runs ceil(n_valid/chunk) iterations (``lax.fori_loop`` with a
+    dynamic bound), so a fixed slot capacity costs nothing for unused slots —
+    the device-resident predict pipeline (models/model2d.py
+    ``predict_instances_device``) rasterizes into M >= n_surv slots without
+    a per-image recompile or per-dead-slot compute. Candidates must be
+    compacted to the front (slots >= n_valid are never read). Semantics =
+    ``_raster2d_impl`` packed path with out_uint16=True: per pixel the
+    largest ``vals`` entry wins, pixel value = that candidate's ``labs``
+    entry (requires vals < 2^15, labs < 2^16)."""
+    img0 = jnp.zeros(shape, jnp.int32)
+    ar = jnp.arange(W, dtype=jnp.int32)
+
+    def body(i, img):
+        d = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, 0)
+        p = jax.lax.dynamic_slice_in_dim(points, i * chunk, chunk, 0)
+        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk, 0)
+        lb = jax.lax.dynamic_slice_in_dim(labs, i * chunk, chunk, 0)
+        start = jnp.round(p).astype(jnp.int32) - W // 2
+        rr = start[:, 0:1] + ar[None, :]
+        cc = start[:, 1:2] + ar[None, :]
+        q = jnp.stack(
+            jnp.broadcast_arrays(rr[:, :, None].astype(jnp.float32),
+                                 cc[:, None, :].astype(jnp.float32)),
+            axis=-1,
+        ).reshape(chunk, W * W, 2)
+        inside = points_in_polygons(d, p, q) & (v > 0)[:, None]
+        # negative indices would WRAP in the scatter (mode="drop" only drops
+        # indices beyond the array) — mask them out explicitly
+        in_img = ((rr >= 0)[:, :, None] & (cc >= 0)[:, None, :]).reshape(chunk, W * W)
+        inside = inside & in_img
+        val_patch = jnp.where(inside, ((v << 16) | lb)[:, None], 0)
+        rr_full = jnp.broadcast_to(rr[:, :, None], (chunk, W, W)).reshape(-1)
+        cc_full = jnp.broadcast_to(cc[:, None, :], (chunk, W, W)).reshape(-1)
+        return img.at[rr_full, cc_full].max(val_patch.reshape(-1), mode="drop")
+
+    n_chunks = (n_valid.astype(jnp.int32) + (chunk - 1)) // chunk
+    img = jax.lax.fori_loop(0, n_chunks, body, img0)
+    return (img & 0xFFFF).astype(jnp.uint16)
+
+
 def _can_pack_labels(order_values, labels_plus):
     """True when (order_value << 16 | label) fits an int32 scatter value."""
     return (int(order_values.max(initial=0)) < 2 ** 15

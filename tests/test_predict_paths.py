@@ -122,3 +122,64 @@ def test_odd_sizes_padding(model):
         if len(details["points"]):
             assert details["points"].max(axis=0)[0] < shape[0]
             assert details["points"].max(axis=0)[1] < shape[1]
+
+
+def test_device_predict_matches_host(model):
+    """predict_instances_device (single fused dispatch: forward + extract +
+    NMS + raster on device) must reproduce the host-orchestrated
+    predict_instances exactly — same label image, same survivor set."""
+    for shape, seed in (((96, 96), 9), ((97, 101), 3)):
+        img, _ = synthetic_nuclei_2d((160, 160), seed=seed)
+        img = img[: shape[0], : shape[1]]
+        ref_labels, ref = model.predict_instances(img, prob_thresh=0.6)
+        labels, det = model.predict_instances_device(img, prob_thresh=0.6)
+        assert labels.shape == ref_labels.shape
+        assert len(det["prob"]) == len(ref["prob"])
+        np.testing.assert_allclose(det["prob"], ref["prob"], rtol=1e-6)
+        np.testing.assert_array_equal(det["points"], ref["points"])
+        np.testing.assert_allclose(det["coord"], ref["coord"], rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_device_predict_capacity_retries(model):
+    """Deliberately tiny starting capacities: the flag-checked retry cascade
+    must converge to the same result (compile-cache-friendly buckets)."""
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    ref_labels, ref = model.predict_instances(img, prob_thresh=0.3)
+    old_k0 = model._extract_k0
+    model._device_predict_caps = dict(K=1024, M=2048, W=16)
+    try:
+        model._extract_k0 = 1024
+        labels, det = model.predict_instances_device(img, prob_thresh=0.3)
+    finally:
+        model._extract_k0 = old_k0
+        model._device_predict_caps = {}
+    assert len(det["prob"]) == len(ref["prob"])
+    np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_device_predict_no_fetch_returns_device_arrays(model):
+    import jax
+
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    labels, det = model.predict_instances_device(img, prob_thresh=0.6,
+                                                 fetch=False)
+    assert isinstance(labels, jax.Array)
+    assert isinstance(det["dist"], jax.Array)
+    ref_labels, _ = model.predict_instances(img, prob_thresh=0.6)
+    np.testing.assert_array_equal(np.asarray(labels).astype(np.int32),
+                                  ref_labels)
+
+
+def test_device_predict_device_array_input(model):
+    """A pre-staged device array (already normalized, stride-divisible) runs
+    with zero host-side image work and matches the numpy-input path."""
+    import jax.numpy as jnp
+
+    img, _ = synthetic_nuclei_2d((96, 96), seed=9)
+    ref_labels, ref = model.predict_instances(img, prob_thresh=0.6)
+    labels, det = model.predict_instances_device(jnp.asarray(img),
+                                                 prob_thresh=0.6)
+    np.testing.assert_array_equal(labels, ref_labels)
+    np.testing.assert_array_equal(det["points"], ref["points"])
