@@ -147,6 +147,23 @@ def main():
           f"{(t_fwd + t_nms + t_ras) * 1e3:.1f} ms  "
           f"(e2e {t_e2e * 1e3:.1f} ms)")
 
+    # ---- fused single-dispatch device-resident path ------------------------
+    # pre-staged f32 device image, labels left on device (serving config)
+    x_f32 = jnp.asarray(img[..., None])
+    jax.block_until_ready(x_f32)
+
+    def dev():
+        return model.predict_instances_device(x_f32,
+                                              prob_thresh=args.prob_thresh,
+                                              nms_thresh=args.nms_thresh,
+                                              fetch=False)
+    (labels_dev, det), t_dev = timed("predict_instances_device (fused, no D2H)",
+                                     dev, sync=lambda r: None)
+    print(f"  -> {det['nms_counters'].get('n_survivors', '?')} survivors, "
+          f"{(H * W / 1e6) / t_dev:.1f} Mpix/s")
+    for k, v in sorted(det.get("nms_counters", {}).items()):
+        print(f"  counter {k} = {v}")
+
 
 if __name__ == "__main__":
     main()
