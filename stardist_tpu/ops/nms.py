@@ -1415,22 +1415,9 @@ def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
 # 2D
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
-    """Overlap criterion for a block of row candidates vs column candidates.
-
-    Returns bool (B, M): A_inter / min(A_r, A_c) > thresh, with A_inter
-    estimated on an S x S sub-pixel grid over the bbox intersection.
-    """
-    lo_r, hi_r = polygon_bboxes(dist_r, points_r)  # (B,2)
-    lo_c, hi_c = polygon_bboxes(dist_c, points_c)  # (M,2)
-    area_r = polygon_areas(dist_r)
-    area_c = polygon_areas(dist_c)
-
-    plo = jnp.maximum(lo_r[:, None], lo_c[None])   # (B,M,2)
-    phi = jnp.minimum(hi_r[:, None], hi_c[None])
-    ext = jnp.maximum(phi - plo, 0.0)
-
+def _frac_block_2d(dist_r, points_r, dist_c, points_c, S, plo, ext):
+    """Covered fraction of an S x S midpoint grid over the per-pair bbox
+    intersection (B, M)."""
     s = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
     B, M = ext.shape[:2]
     # query points (B,M,S,S,2): rows vary along axis -2, cols along axis -1
@@ -1448,10 +1435,37 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
         jnp.broadcast_to(points_c[None], (B, M, 2)),
         q,
     )
-    frac = jnp.mean(in_r & in_c, axis=-1)
-    inter = frac * ext[..., 0] * ext[..., 1]
-    overlap = inter / (jnp.minimum(area_r[:, None], area_c[None]) + 1e-10)
-    return overlap > thresh
+    return jnp.mean(in_r & in_c, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
+    """Overlap criterion for a block of row candidates vs column candidates.
+
+    Returns bool (B, M): A_inter / min(A_r, A_c) > thresh, with A_inter
+    estimated by the package-wide cascade estimator (see
+    ops/nms2d_fast.py ``_sampled_sup``): a 4x4 midpoint grid over the bbox
+    intersection decides when its fraction is at least CASCADE_MARGIN from
+    the decision boundary, else the full S x S grid decides. Every NMS
+    execution path shares this cascade so their decisions agree exactly.
+    """
+    from .nms2d_fast import CASCADE_MARGIN
+    lo_r, hi_r = polygon_bboxes(dist_r, points_r)  # (B,2)
+    lo_c, hi_c = polygon_bboxes(dist_c, points_c)  # (M,2)
+    area_r = polygon_areas(dist_r)
+    area_c = polygon_areas(dist_c)
+
+    plo = jnp.maximum(lo_r[:, None], lo_c[None])   # (B,M,2)
+    phi = jnp.minimum(hi_r[:, None], hi_c[None])
+    ext = jnp.maximum(phi - plo, 0.0)
+    ext_area = ext[..., 0] * ext[..., 1]
+    min_area = jnp.minimum(area_r[:, None], area_c[None])
+    fstar = thresh * (min_area + 1e-10) / jnp.maximum(ext_area, 1e-10)
+
+    frac4 = _frac_block_2d(dist_r, points_r, dist_c, points_c, 4, plo, ext)
+    frac = _frac_block_2d(dist_r, points_r, dist_c, points_c, S, plo, ext)
+    coarse = jnp.abs(frac4 - fstar) > CASCADE_MARGIN
+    return jnp.where(coarse, frac4 > fstar, frac > fstar)
 
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
