@@ -367,6 +367,36 @@ class StarDistBase:
     def _is_multiclass(self):
         return self.config.n_classes is not None
 
+    # -- device-path capacity persistence ------------------------------------
+    # The fused device-predict dispatch sizes its static capacities (top-K,
+    # band widths, pair slots, ...) from the candidate field; each distinct
+    # combination is one XLA compile. Persisting the learned values next to
+    # the model (thresholds.json-style) lets a fresh process dispatch the
+    # warm variant directly instead of walking the capacity-retry ladder.
+
+    def _load_device_caps(self):
+        if self.basedir is None:
+            return {}
+        try:
+            import json
+            with open(self.logdir / "device_caps.json") as f:
+                return {k: (tuple(v) if isinstance(v, list) else int(v))
+                        for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_device_caps(self, caps):
+        if self.basedir is None:
+            return
+        try:
+            import json
+            self.logdir.mkdir(parents=True, exist_ok=True)
+            with open(self.logdir / "device_caps.json", "w") as f:
+                json.dump({k: (list(v) if isinstance(v, tuple) else int(v))
+                           for k, v in caps.items()}, f)
+        except OSError:  # pragma: no cover - persistence is best-effort
+            pass
+
     @property
     def _config_class(self):
         raise NotImplementedError()

@@ -381,7 +381,8 @@ class StarDist2D(StarDistBase):
         """
         from ..ops.nms import _bucket, _nms_2d_onepass_traced
         from ..ops.rasterize import _raster2d_packed_dyn
-        extract = self._sparse_extract_fn(K, b_key, False)
+        multiclass = self._is_multiclass()
+        extract = self._sparse_extract_fn(K, b_key, multiclass)
         grid = tuple(int(g) for g in self.config.grid)
         (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb) = nms_statics
         # top_k requires K <= n output pixels, but the NMS kernels want
@@ -390,13 +391,16 @@ class StarDist2D(StarDistBase):
 
         @jax.jit
         def run(params, extra_vars, x, prob_thresh, nms_thresh):
-            vals, d, points, valid, n_above, dmax = extract(
-                params, extra_vars, x, prob_thresh)
+            outs = extract(params, extra_vars, x, prob_thresh)
+            vals, d, points, valid, n_above, dmax = outs[:6]
+            pc = outs[6] if multiclass else None
             if Npad > K:
                 d = jnp.pad(d, ((0, Npad - K), (0, 0)), constant_values=1e-3)
                 points = jnp.pad(points, ((0, Npad - K), (0, 0)))
                 vals = jnp.pad(vals, (0, Npad - K), constant_values=-1.0)
                 valid = jnp.pad(valid, (0, Npad - K))
+                if multiclass:
+                    pc = jnp.pad(pc, ((0, Npad - K), (0, 0)))
             # host candidate-order contract (nms.py non_maximum_suppression_
             # sparse): np.argsort(prob, kind="stable")[::-1] — descending
             # prob with TIES in descending list order; top_k gives ties in
@@ -408,6 +412,8 @@ class StarDist2D(StarDistBase):
             d = jnp.take(d, perm_h, axis=0)
             points = jnp.take(points, perm_h, axis=0)
             valid = jnp.take(valid, perm_h, axis=0)
+            if multiclass:
+                pc = jnp.take(pc, perm_h, axis=0)
             n_valid = jnp.minimum(n_above, K).astype(jnp.int32)
             keep, nms_flags, stats = _nms_2d_onepass_traced(
                 d, points, n_valid, dmax, nms_thresh, grid,
@@ -429,6 +435,7 @@ class StarDist2D(StarDistBase):
             pM = jnp.take(points, permM, axis=0).astype(jnp.float32) \
                 * jnp.asarray(grid, jnp.float32)[None]
             probM = jnp.where(validM, jnp.take(vals, permM, axis=0), 0.0)
+            pcM = jnp.take(pc, permM, axis=0) if multiclass else None
             # raster ordering contract (geometry/geom2d.py _render_polygons):
             # order value = rank in a STABLE ascending-prob sort (+1), so for
             # tied probs the later candidate wins the scatter-max exactly like
@@ -446,6 +453,9 @@ class StarDist2D(StarDistBase):
             # full-res labels); the window must cover the largest polygon
             w_ok = 2.0 * dmax + 4.0 <= jnp.float32(W)
             flags = nms_flags + (fits_surv, w_ok)
+            if multiclass:
+                return (labels_img, dM, pM, probM, n_surv, n_above, dmax,
+                        flags, stats, pcM)
             return labels_img, dM, pM, probM, n_surv, n_above, dmax, flags, stats
 
         return run
@@ -472,10 +482,7 @@ class StarDist2D(StarDistBase):
         steady state.
         """
         from ..ops.nms import _RETRY_CAPS, _bucket, LAST_NMS_COUNTERS
-        if self._is_multiclass():
-            raise NotImplementedError(
-                "predict_instances_device does not support multiclass yet; "
-                "use predict_instances")
+        multiclass = self._is_multiclass()
         if prob_thresh is None:
             prob_thresh = self.thresholds.prob
         if nms_thresh is None:
@@ -522,19 +529,22 @@ class StarDist2D(StarDistBase):
         out_size = int(np.prod([s // g for s, g in zip(x_shape[:-1], grid)]))
         caps = getattr(self, "_device_predict_caps", None)
         if caps is None:
-            caps = self._device_predict_caps = {}
+            caps = self._device_predict_caps = self._load_device_caps()
         K = min(caps.get("K", self._extract_k0), out_size)
         M = caps.get("M", 16384)
         Wwin = caps.get("W", 64)
         NB, NB2 = caps.get("NB", 1), caps.get("NB2", 2)
-        A_max, Pb = _RETRY_CAPS.get("onepass", (64, 1024))
+        A_max, Pb = _RETRY_CAPS.get(
+            "onepass", (caps.get("A_max", 64), caps.get("Pb", 1024)))
         Q, Qb, S, chunk = 256, 512, 16, 256
         axis = 0 if shape_inst[0] >= shape_inst[1] else 1
         Npad = _bucket(K, minimum=2 * Q)
         P_cap0 = min(Npad, 131072)
-        P = min(P_cap0, _bucket(_RETRY_CAPS.get("onepass_todo", P_cap0),
-                                minimum=16384))
-        R = min(Npad, max(2 * Qb, Npad * _RETRY_CAPS.get("onepass_R16", 2) // 16))
+        P = min(P_cap0, _bucket(
+            _RETRY_CAPS.get("onepass_todo", caps.get("todo", P_cap0)),
+            minimum=16384))
+        R = min(Npad, max(2 * Qb, Npad * _RETRY_CAPS.get(
+            "onepass_R16", caps.get("R16", 2)) // 16))
 
         pt, nt = jnp.float32(prob_thresh), jnp.float32(nms_thresh)
         for _ in range(16):
@@ -548,7 +558,8 @@ class StarDist2D(StarDistBase):
                 M, Wwin, chunk, shape_inst)
             outs = fn(self.params, self._extra_vars, x_dev, pt, nt)
             labels_dev, dM, pM, probM = outs[:4]
-            n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:])
+            pcM = outs[9] if multiclass else None
+            n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:9])
             n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
             peel_ok, fits, band_ok2, fits_surv, w_ok = (bool(f) for f in flags)
             (n_defsurv, n_killed, n_rem, max_amb, max_pairs,
@@ -595,12 +606,19 @@ class StarDist2D(StarDistBase):
                 retried = True
             if retried:
                 continue
-            # success: remember the working capacities
-            caps.update(K=K, M=M, W=Wwin, NB=NB, NB2=NB2)
+            # success: remember the working capacities (and persist them
+            # next to the model, thresholds.json-style, so a fresh process
+            # compiles ONE fused variant instead of walking the retry
+            # ladder — with the persistent XLA cache that warm variant is a
+            # cache hit, not a multi-minute compile)
+            caps.update(K=K, M=M, W=Wwin, NB=NB, NB2=NB2,
+                        A_max=A_max, Pb=Pb, todo=n_todo)
             _RETRY_CAPS["onepass"] = (A_max, Pb)
             _RETRY_CAPS["onepass_todo"] = n_todo
             _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
                 if R < Npad else 16
+            caps["R16"] = _RETRY_CAPS["onepass_R16"]
+            self._save_device_caps(caps)
             LAST_NMS_COUNTERS.clear()
             LAST_NMS_COUNTERS.update(
                 n_candidates=min(n_above, K), n_peel_survivor=n_defsurv,
@@ -611,6 +629,9 @@ class StarDist2D(StarDistBase):
             details = dict(dist=dM[:n_surv], points=pM[:n_surv],
                            prob=probM[:n_surv],
                            nms_counters=dict(LAST_NMS_COUNTERS))
+            if multiclass:
+                details["class_prob"] = pcM[:n_surv]
+                details["class_id"] = jnp.argmax(pcM[:n_surv], axis=-1)
             if fetch:
                 dist_h, points_h, prob_h = (np.asarray(a) for a in jax.device_get(
                     (details["dist"], details["points"], details["prob"])))
@@ -618,6 +639,10 @@ class StarDist2D(StarDistBase):
                                points=points_h.astype(np.int32),
                                prob=prob_h,
                                coord=dist_to_coord(dist_h, points_h))
+                if multiclass:
+                    pc_h = np.asarray(jax.device_get(details["class_prob"]))
+                    details.update(class_prob=pc_h,
+                                   class_id=np.argmax(pc_h, axis=-1))
                 labels = np.asarray(labels_dev).astype(np.int32)
             else:
                 labels = labels_dev

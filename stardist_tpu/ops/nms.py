@@ -1258,7 +1258,10 @@ def _nms_polygons_device_single(dist, points, thresh, samples, row_block,
     """One fixed-size device-NMS invocation with ambiguous-cap retry; input
     already padded/truncated to a bucketed size by the caller."""
     N = len(dist)
-    Np = _bucket(N, minimum=8)
+    # minimum bucket 2048: small fields (threshold-sweep probes, tiny tiles)
+    # all share ONE compiled kernel — the padded rows cost microseconds, a
+    # per-bucket XLA compile costs seconds (minutes through a TPU tunnel)
+    Np = _bucket(N, minimum=2048 if N > 8 else 8)
     d = jnp.asarray(_pad(dist, Np, value=1e-3))
     p = jnp.asarray(_pad(points, Np, value=-1e9))
     valid = jnp.arange(Np) < N

@@ -184,8 +184,17 @@ def rasterize_polygons(dist, points, shape, order_values, window=None, chunk=256
     if window is None:
         window = 2 * int(np.ceil(float(dist.max()) * max(scale_dist))) + 4
     window = int(min(window, 2 * max(shape) + 4))
+    # bucket the window and the candidate count so nearby fields (e.g. the
+    # per-probe prefixes of optimize_thresholds) share one compiled kernel:
+    # every distinct (window, Np) pair is a full XLA compile
+    window = -(-window // 16) * 16
     chunk = int(min(chunk, max(1, N)))
     Np = ((N + chunk - 1) // chunk) * chunk
+    if Np > chunk:
+        b = chunk
+        while b < Np:
+            b *= 2
+        Np = b
     if labels is not None:
         labels_plus = np.asarray(labels, np.int32) + 1
         if _can_pack_labels(order_values, labels_plus):

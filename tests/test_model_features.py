@@ -31,6 +31,28 @@ def test_multiclass_training(tmp_path):
     assert "class_id" in details and "class_prob" in details
 
 
+def test_multiclass_device_predict_matches_host(tmp_path):
+    """predict_instances_device supports multiclass (VERDICT r2 item 10):
+    labels, class ids and class probabilities agree with the host path
+    (reference multiclass flow: stardist/models/model2d.py:109-119,512-563)."""
+    imgs, lbls = _data2d(2, shape=(96, 96))
+    cfg = Config2D(n_rays=16, grid=(2, 2), n_classes=1, unet_n_depth=2,
+                   unet_n_filter_base=8, net_conv_after_unet=16,
+                   train_patch_size=(64, 64), train_batch_size=2,
+                   train_reduce_lr=None)
+    model = StarDist2D(cfg, name="mcd", basedir=str(tmp_path))
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]),
+                classes="auto", seed=0, epochs=2, steps_per_epoch=6)
+    img, _ = synthetic_nuclei_2d((96, 96), seed=7)
+    labels_h, det_h = model.predict_instances(img, prob_thresh=0.6)
+    labels_d, det_d = model.predict_instances_device(img, prob_thresh=0.6)
+    assert "class_prob" in det_d and "class_id" in det_d
+    assert np.array_equal(labels_h, labels_d)
+    assert np.array_equal(det_h["class_id"], det_d["class_id"])
+    assert np.allclose(det_h["class_prob"], det_d["class_prob"],
+                       atol=1e-5)
+
+
 def test_shape_completion_data():
     imgs, lbls = _data2d(1, shape=(128, 128))
     data = StarDistData2D(imgs, lbls, batch_size=1, n_rays=8, length=2,
