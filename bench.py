@@ -194,10 +194,19 @@ def main():
                                                          fetch=False)
         times.append(time.perf_counter() - t0)
     td = min(times)
+    n_surv_dev = det["nms_counters"].get("n_survivors", 0)
     print(f"predict_instances_device 4096^2 (device-resident): {td * 1e3:.1f} ms, "
-          f"{det['nms_counters'].get('n_survivors', '?')} survivors", file=sys.stderr)
+          f"{n_surv_dev} survivors", file=sys.stderr)
     emit("predict2d_device_throughput", (H * W / 1e6) / td,
          "Mpix/s (device-resident)", ((H * W / 1e6) / td) / ((H * W / 1e6) / 0.1))
+    # device-path vs host-path divergence guard (ADVICE r2 item 2): the two
+    # flagship paths must agree at bench scale (bf16 + tiling), quantified as
+    # the relative survivor-count delta plus the AP delta computed below
+    m_dev = matching(lbl4096, np.asarray(labels_dev).astype(np.int32), thresh=0.5)
+    surv_delta = abs(n_surv_dev - n_obj) / max(n_obj, 1)
+    ap_dev_host = abs(m_dev.accuracy - m_bf16.accuracy)
+    print(f"device vs host: {n_surv_dev} vs {n_obj} survivors, "
+          f"AP@0.5 {m_dev.accuracy:.4f} vs {m_bf16.accuracy:.4f}", file=sys.stderr)
 
     # forward MFU: FLOPs from XLA's cost analysis of the (dtype-independent)
     # f32 network, wall time of the actual inference forward.
@@ -278,6 +287,13 @@ def main():
     mpix_per_s = (H * W / 1e6) / t
     baseline = (H * W / 1e6) / 0.1  # 100 ms target
     print(f"predict_instances 4096^2: {t * 1e3:.1f} ms, {n_obj} objects", file=sys.stderr)
+    # re-emit the accuracy guards LAST so the driver-captured output tail
+    # always contains them (VERDICT r2 weak item 7)
+    emit("bf16_ap_delta", ap_delta, "|AP@0.5(bf16) - AP@0.5(f32)| (guard, re-emitted)")
+    emit("device_host_ap_delta", ap_dev_host,
+         "|AP@0.5(device path) - AP@0.5(host path)| (guard)")
+    emit("device_host_survivor_delta", surv_delta,
+         "relative survivor-count delta device vs host (guard)")
     emit("predict2d_throughput", mpix_per_s, "Mpix/s", mpix_per_s / baseline)
 
 

@@ -786,26 +786,46 @@ def _peel_2d_fused(dist, points, rank, n_real, thresh, T, gap, x0,
         )
         layouts.append(L)
 
+    # Banded sweeps are batched over GROUPS of blocks: a per-block fori_loop
+    # serializes thousands of tiny (Q, W) steps (measured ~0.3-0.5 ms each on
+    # v5e — the dominant NMS cost at production N), while a (G, Q, W) batched
+    # step keeps the VPU saturated. G bounds the intermediates to ~tens of MB.
+    G = max(1, min(64, n_blocks))
+    while n_blocks % G:
+        G //= 2
+    n_groups = n_blocks // G
+
+    def windows(a_padded, g, F_last=None):
+        """(G, Q, ...) row blocks and (G, W, ...) band windows of group g."""
+        i0 = g * G * Q
+        rows = jax.lax.dynamic_slice_in_dim(a_padded, i0 + pad, G * Q, 0)
+        rows = rows.reshape((G, Q) + a_padded.shape[1:])
+        seg = jax.lax.dynamic_slice_in_dim(a_padded, i0, (G + 2 * NB) * Q, 0)
+        view = seg.reshape((G + 2 * NB, Q) + a_padded.shape[1:])
+        win = jnp.concatenate([view[k:k + G] for k in range(2 * NB + 1)],
+                              axis=1)                    # (G, W, ...)
+        return rows, win
+
     # -- sweep 1: definite survivors (no earlier candidate within reach) ---
     ds_base = valid
     for L in layouts:
         p_L, rout_L, rank_L, valid_L = L["p"], L["rout"], L["rank"], L["valid"]
 
-        def sweep1(b, ds):
-            i0 = b * Q
-            slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0 + pad, Q, 0)
-            slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
-            p_r, rout_r, rank_r = slr(p_L), slr(rout_L), slr(rank_L)
-            p_c, rout_c = slc(p_L), slc(rout_L)
-            valid_c, rank_c = slc(valid_L), slc(rank_L)
-            d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
-            rr = rout_r[:, None] + rout_c[None]
-            earlier = (rank_c[None, :] < rank_r[:, None]) & valid_c[None, :]
+        def sweep1(g, ds):
+            p_r, p_c = windows(p_L, g)
+            rout_r, rout_c = windows(rout_L, g)
+            rank_r, rank_c = windows(rank_L, g)
+            _, valid_c = windows(valid_L, g)
+            d2 = jnp.sum((p_r[:, :, None] - p_c[:, None]) ** 2, axis=-1)
+            rr = rout_r[:, :, None] + rout_c[:, None]
+            earlier = ((rank_c[:, None] < rank_r[:, :, None])
+                       & valid_c[:, None])
             reach = earlier & (d2 < rr * rr)
+            ds_g = ~jnp.any(reach, axis=2)               # (G, Q)
             return jax.lax.dynamic_update_slice_in_dim(
-                ds, ~jnp.any(reach, axis=1), i0, 0)
+                ds, ds_g.reshape(G * Q), g * G * Q, 0)
 
-        ds_L = jax.lax.fori_loop(0, n_blocks, sweep1, jnp.zeros(Npad, bool))
+        ds_L = jax.lax.fori_loop(0, n_groups, sweep1, jnp.zeros(Npad, bool))
         ds_base = ds_base & jnp.zeros(Npad, bool).at[L["perm"]].set(ds_L)
     defsurv = ds_base & valid
 
@@ -818,38 +838,44 @@ def _peel_2d_fused(dist, points, rank, n_real, thresh, T, gap, x0,
         rin_L, rout_L, area_L = L["rin"], L["rout"], L["area"]
         ds_L = padw(defsurv[L["perm"]], False)
         perm_pad = L["perm_pad"]
+        col_iota = jnp.arange(W, dtype=jnp.int32)
 
-        def sweep2(b, carry):
+        def sweep2(g, carry):
             kd, nnc, d2c = carry
-            i0 = b * Q
-            slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0 + pad, Q, 0)
-            slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
-            p_r, rank_r = slr(p_L), slr(rank_L)
-            rin_r, area_r, rout_r = slr(rin_L), slr(area_L), slr(rout_L)
-            p_c, rank_c = slc(p_L), slc(rank_L)
-            rin_c, area_c, rout_c = slc(rin_L), slc(area_L), slc(rout_L)
-            dsc = slc(ds_L)
-            d2 = jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1)
+            p_r, p_c = windows(p_L, g)
+            rank_r, rank_c = windows(rank_L, g)
+            rin_r, rin_c = windows(rin_L, g)
+            rout_r, rout_c = windows(rout_L, g)
+            area_r, area_c = windows(area_L, g)
+            _, dsc = windows(ds_L, g)
+            d2 = jnp.sum((p_r[:, :, None] - p_c[:, None]) ** 2, axis=-1)
             dc = jnp.sqrt(d2)
-            denom = jnp.minimum(area_r[:, None], area_c[None]) + 1e-10
-            lb = _lens_area_lb(rin_c[None], rin_r[:, None], dc) / denom
-            earlier_ds = dsc[None, :] & (rank_c[None, :] < rank_r[:, None])
-            kb = jnp.any(earlier_ds & (lb > thresh), axis=1)
+            denom = jnp.minimum(area_r[:, :, None], area_c[:, None]) + 1e-10
+            lb = _lens_area_lb(rin_c[:, None], rin_r[:, :, None], dc) / denom
+            earlier_ds = dsc[:, None] & (rank_c[:, None] < rank_r[:, :, None])
+            kb = jnp.any(earlier_ds & (lb > thresh), axis=2)
             # exact-stage neighbor: nearest whose lens UPPER bound clears
             # the threshold (others provably cannot kill)
-            ub = _lens_area_ub(rout_c[None], rout_r[:, None], dc) / denom
+            ub = _lens_area_ub(rout_c[:, None], rout_r[:, :, None], dc) / denom
             plaus = earlier_ds & (ub > thresh)
             d2m = jnp.where(plaus, d2, jnp.inf)
-            a = jnp.argmin(d2m, axis=1)
-            d2n_b = jnp.take_along_axis(d2m, a[:, None], axis=1)[:, 0]
-            nn_b = jnp.where(d2n_b < jnp.inf, jnp.take(perm_pad, i0 + a), -1)
-            return (jax.lax.dynamic_update_slice_in_dim(kd, kb, i0, 0),
-                    jax.lax.dynamic_update_slice_in_dim(nnc, nn_b, i0, 0),
-                    jax.lax.dynamic_update_slice_in_dim(d2c, d2n_b, i0, 0))
+            a = jnp.argmin(d2m, axis=2)                   # (G, Q)
+            d2n_b = jnp.min(d2m, axis=2)
+            # window-local column -> global padded row of this layout
+            i0 = g * G * Q
+            base = i0 + jnp.arange(G, dtype=jnp.int32)[:, None] * Q
+            nn_b = jnp.where(d2n_b < jnp.inf,
+                             jnp.take(perm_pad, base + a), -1)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        kd, kb.reshape(G * Q), i0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        nnc, nn_b.reshape(G * Q), i0, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        d2c, d2n_b.reshape(G * Q), i0, 0))
 
         kd0 = (jnp.zeros(Npad, bool), jnp.full(Npad, -1, jnp.int32),
                jnp.full(Npad, jnp.inf, jnp.float32))
-        kd_L, nn_L, d2_L = jax.lax.fori_loop(0, n_blocks, sweep2, kd0)
+        kd_L, nn_L, d2_L = jax.lax.fori_loop(0, n_groups, sweep2, kd0)
         kd_b = jnp.zeros(Npad, bool).at[L["perm"]].set(kd_L)
         nn_bse = jnp.full(Npad, -1, jnp.int32).at[L["perm"]].set(nn_L)
         d2_bse = jnp.full(Npad, jnp.inf, jnp.float32).at[L["perm"]].set(d2_L)
