@@ -11,22 +11,32 @@ Flat namespace mirrors the reference package __init__ (stardist/__init__.py).
 from .version import __version__
 
 
+_cache_checked = False
+
+
 def _enable_persistent_compilation_cache():
     """Opt-out persistent XLA compilation cache (STARDIST_TPU_NO_CACHE=1 to
     disable). First-run compiles through a remote-TPU tunnel take minutes;
     the cache amortizes them across processes (the warm path of the fused
     device-predict dispatch is one cache hit instead of a 5+ minute build).
-    Does nothing if the user already configured jax_compilation_cache_dir."""
+
+    Called lazily from the heavy entry points (model construction, device
+    NMS) — NOT at import — so the decision is made on the *resolved* backend:
+    CPU AOT cache entries are machine-feature-specific (a cache shared across
+    heterogeneous hosts, e.g. on NFS, risks SIGILL), so the cache is enabled
+    only when the default backend is an accelerator. Does nothing if the
+    user already configured jax_compilation_cache_dir."""
+    global _cache_checked
+    if _cache_checked:
+        return
+    _cache_checked = True
     import os
     if os.environ.get("STARDIST_TPU_NO_CACHE", "0") == "1":
         return
-    # CPU AOT cache entries are machine-feature-specific (a cache shared
-    # across heterogeneous hosts risks SIGILL); the minutes-long compiles
-    # the cache exists for are TPU-tunnel compiles anyway
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
-        return
     try:
         import jax
+        if jax.default_backend() == "cpu":
+            return
         if (jax.config.jax_compilation_cache_dir
                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
             return
@@ -38,9 +48,6 @@ def _enable_persistent_compilation_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
-
-
-_enable_persistent_compilation_cache()
 
 from .nms import (
     non_maximum_suppression,

@@ -295,6 +295,8 @@ class StarDistBase:
     _extract_k0 = 1 << 17
 
     def __init__(self, config, name=None, basedir="."):
+        from .. import _enable_persistent_compilation_cache
+        _enable_persistent_compilation_cache()
         self.config = config
         self.basedir = Path(basedir) if basedir is not None else None
         if config is None:
@@ -375,25 +377,55 @@ class StarDistBase:
     # warm variant directly instead of walking the capacity-retry ladder.
 
     def _load_device_caps(self):
+        """Load the workload-keyed capacity map: {workload_key: {cap: int}}.
+        Caps are keyed by the padded input shape so alternating image sizes
+        don't overwrite each other's learned capacities (and re-trigger
+        compiles). Legacy flat files (one cap dict) load under one key."""
         if self.basedir is None:
             return {}
         try:
             import json
             with open(self.logdir / "device_caps.json") as f:
-                return {k: (tuple(v) if isinstance(v, list) else int(v))
-                        for k, v in json.load(f).items()}
-        except (OSError, ValueError):
+                raw = json.load(f)
+            if raw and all(isinstance(v, dict) for v in raw.values()):
+                return {k: {ck: int(cv) for ck, cv in v.items()}
+                        for k, v in raw.items()}
+            # legacy flat single-workload file
+            return {"legacy": {k: int(v) for k, v in raw.items()
+                               if not isinstance(v, list)}}
+        except (OSError, ValueError, TypeError):
             return {}
 
-    def _save_device_caps(self, caps):
+    def _device_caps_for(self, key):
+        """The mutable caps dict for one workload key (padded input shape)."""
+        caps_map = getattr(self, "_device_predict_caps", None)
+        if caps_map is None:
+            caps_map = self._device_predict_caps = self._load_device_caps()
+        caps = caps_map.get(key)
+        if caps is None:
+            # seed a new workload from the legacy entry if present
+            caps = caps_map[key] = dict(caps_map.get("legacy", {}))
+        return caps
+
+    def _save_device_caps(self, caps_map):
+        """Persist the caps map atomically (tmp + os.replace): the multihost
+        drivers run several processes against one model dir, and a torn
+        concurrent write must never corrupt the file. Skips the write when
+        nothing changed since the last save."""
         if self.basedir is None:
             return
         try:
             import json
+            import os
+            payload = json.dumps(caps_map, sort_keys=True)
+            if payload == getattr(self, "_device_caps_saved", None):
+                return
             self.logdir.mkdir(parents=True, exist_ok=True)
-            with open(self.logdir / "device_caps.json", "w") as f:
-                json.dump({k: (list(v) if isinstance(v, tuple) else int(v))
-                           for k, v in caps.items()}, f)
+            tmp = self.logdir / f"device_caps.json.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, self.logdir / "device_caps.json")
+            self._device_caps_saved = payload
         except OSError:  # pragma: no cover - persistence is best-effort
             pass
 

@@ -527,9 +527,10 @@ class StarDist2D(StarDistBase):
         # top_k caps K at the number of output pixels; the fused fn pads the
         # NMS shapes up to the next power-of-two bucket internally
         out_size = int(np.prod([s // g for s, g in zip(x_shape[:-1], grid)]))
-        caps = getattr(self, "_device_predict_caps", None)
-        if caps is None:
-            caps = self._device_predict_caps = self._load_device_caps()
+        # capacities are keyed by the padded input shape: alternating image
+        # sizes each keep their own learned caps (no compile thrash)
+        caps_key = "x".join(str(int(s)) for s in x_shape[:-1])
+        caps = self._device_caps_for(caps_key)
         K = min(caps.get("K", self._extract_k0), out_size)
         M = caps.get("M", 16384)
         Wwin = caps.get("W", 64)
@@ -618,7 +619,7 @@ class StarDist2D(StarDistBase):
             _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
                 if R < Npad else 16
             caps["R16"] = _RETRY_CAPS["onepass_R16"]
-            self._save_device_caps(caps)
+            self._save_device_caps(self._device_predict_caps)
             LAST_NMS_COUNTERS.clear()
             LAST_NMS_COUNTERS.update(
                 n_candidates=min(n_above, K), n_peel_survivor=n_defsurv,

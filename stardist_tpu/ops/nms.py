@@ -789,8 +789,11 @@ def _peel_2d_fused(dist, points, rank, n_real, thresh, T, gap, x0,
     # Banded sweeps are batched over GROUPS of blocks: a per-block fori_loop
     # serializes thousands of tiny (Q, W) steps (measured ~0.3-0.5 ms each on
     # v5e — the dominant NMS cost at production N), while a (G, Q, W) batched
-    # step keeps the VPU saturated. G bounds the intermediates to ~tens of MB.
-    G = max(1, min(64, n_blocks))
+    # step keeps the VPU saturated. G bounds the intermediates to ~tens of MB;
+    # it shrinks as the NB band-retry widens (G*(2NB+1) ~ const) so the
+    # (G, Q, W) f32 temporaries stay bounded across retries instead of
+    # ballooning exactly on the pathological fields that trigger wide bands.
+    G = max(1, min(192 // (2 * NB + 1), n_blocks))
     while n_blocks % G:
         G //= 2
     n_groups = n_blocks // G
@@ -838,7 +841,6 @@ def _peel_2d_fused(dist, points, rank, n_real, thresh, T, gap, x0,
         rin_L, rout_L, area_L = L["rin"], L["rout"], L["area"]
         ds_L = padw(defsurv[L["perm"]], False)
         perm_pad = L["perm_pad"]
-        col_iota = jnp.arange(W, dtype=jnp.int32)
 
         def sweep2(g, carry):
             kd, nnc, d2c = carry
@@ -1531,6 +1533,8 @@ def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
     if device_nms is None:
         device_nms = jax.default_backend() == "tpu"
     if device_nms:
+        from .. import _enable_persistent_compilation_cache
+        _enable_persistent_compilation_cache()
         keep = _nms_polygons_device(dist, points, thresh, samples=samples,
                                     verbose=verbose, dist_max=dist_max)
         LAST_NMS_COUNTERS["n_survivors"] = int(keep.sum())

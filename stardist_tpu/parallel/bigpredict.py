@@ -93,6 +93,20 @@ def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
         variables["params"] = params
         return net.apply(variables, x, train=False)
 
+    # Remainder batches run on a power-of-two SUB-mesh instead of padding the
+    # full batch with duplicate blocks (which wastes up to (n_dev-1)/n_dev of
+    # the forward at pod scale): a partial batch of r blocks is bucketed to
+    # the next power of two nb <= n_dev and forwarded on the first nb devices
+    # (params re-replicated there once, cached per bucket).
+    _sub = {n_dev: (params, batch_sharding)}
+
+    def _placement_for(nb):
+        if nb not in _sub:
+            m = Mesh(np.array(devices[:nb]), ("block",))
+            _sub[nb] = (jax.device_put(model.params, NamedSharding(m, P())),
+                        NamedSharding(m, P("block")))
+        return _sub[nb]
+
     # streaming pipeline: a reader thread prepares the next device-batch of
     # blocks while the current batch is forwarded/stitched, so peak host
     # memory is O(n_dev blocks), not O(all blocks) — zarr-safe end to end
@@ -119,8 +133,12 @@ def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
                         x = x[..., np.newaxis]
                     arrs.append(x.astype(np.float32))
                 n_real = len(arrs)
-                while len(arrs) < n_dev:
-                    arrs.append(arrs[-1])  # pad batch with duplicates
+                # bucket a partial batch to the next power of two (sub-mesh
+                # forward); pad slots are zeros, not duplicate forwards
+                nb = n_dev if n_real == n_dev \
+                    else min(n_dev, 1 << (n_real - 1).bit_length())
+                while len(arrs) < nb:
+                    arrs.append(np.zeros_like(arrs[-1]))
                 batch_q.put((idxs, np.stack(arrs), pads_b, n_real))
                 i += n_real
         except Exception as e:
@@ -146,8 +164,9 @@ def predict_instances_big_sharded(model, img, axes, block_size, min_overlap,
         if isinstance(item, Exception):
             raise item
         idxs, xb_np, pads_b, n_real = item
-        xb = jax.device_put(jnp.asarray(xb_np), batch_sharding)
-        outs = forward(params, xb)
+        params_b, sharding_b = _placement_for(xb_np.shape[0])
+        xb = jax.device_put(jnp.asarray(xb_np), sharding_b)
+        outs = forward(params_b, xb)
         outs = [np.asarray(o) for o in outs]
 
         for k in range(n_real):

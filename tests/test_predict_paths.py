@@ -148,7 +148,7 @@ def test_device_predict_capacity_retries(model):
     img, _ = synthetic_nuclei_2d((96, 96), seed=9)
     ref_labels, ref = model.predict_instances(img, prob_thresh=0.3)
     old_k0 = model._extract_k0
-    model._device_predict_caps = dict(K=1024, M=2048, W=16)
+    model._device_predict_caps = {"legacy": dict(K=1024, M=2048, W=16)}
     try:
         model._extract_k0 = 1024
         labels, det = model.predict_instances_device(img, prob_thresh=0.3)
