@@ -78,11 +78,27 @@ def _synthetic_nuclei_3d(shape, seed, r_range=(4, 7), density=2.5e-4):
     return img.astype(np.float32), lbl
 
 
-def emit(metric, value, unit, vs_baseline=None):
+_EMITTED = []
+
+
+def emit(metric, value, unit, vs_baseline=None, defer=False):
+    """Print one metric JSON line and record it for the final re-emit block
+    (the driver captures only the output TAIL, so bench.py re-prints EVERY
+    metric at the very end — VERDICT r3 item 4). ``defer=True`` records
+    without printing now (for lines that only make sense in the block)."""
     line = {"metric": metric, "value": round(float(value), 4), "unit": unit}
     if vs_baseline is not None:
         line["vs_baseline"] = round(float(vs_baseline), 4)
-    print(json.dumps(line), flush=True)
+    _EMITTED[:] = [l for l in _EMITTED if l["metric"] != metric]
+    _EMITTED.append(line)
+    if not defer:
+        print(json.dumps(line), flush=True)
+
+
+def emit_all_final():
+    print("==== FINAL METRIC BLOCK (all metrics re-emitted) ====", flush=True)
+    for line in _EMITTED:
+        print(json.dumps(line), flush=True)
 
 
 def main():
@@ -143,8 +159,13 @@ def main():
     # warmup (compilation)
     t0 = time.perf_counter()
     labels, polys = run()
-    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    emit("predict2d_warmup_s", time.perf_counter() - t0,
+         "s (host-path warmup incl. compile)")
     n_obj = len(polys["prob"])
+    # which forward engages at bench shapes (VERDICT r3 weak 2: assert the
+    # CHW Pallas conv path is actually used, don't assume)
+    emit("chw_forward_used", float(bool(model._use_chw_forward())),
+         "1.0 = Pallas (H,C,W) conv path")
 
     # bf16-vs-f32 accuracy: AP@0.5 against the synthetic ground truth
     m_f32 = matching(lbl4096, labels_f32, thresh=0.5)
@@ -185,8 +206,8 @@ def main():
     jax.block_until_ready(x_dev)
     t0 = time.perf_counter()
     model.predict_instances_device(x_dev, prob_thresh=0.5, fetch=False)
-    print(f"device-path warmup (incl. compile): {time.perf_counter() - t0:.1f} s",
-          file=sys.stderr)
+    emit("device_warmup_s", time.perf_counter() - t0,
+         "s (fused device-path warmup; warm persistent cache -> <30s)")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -287,14 +308,11 @@ def main():
     mpix_per_s = (H * W / 1e6) / t
     baseline = (H * W / 1e6) / 0.1  # 100 ms target
     print(f"predict_instances 4096^2: {t * 1e3:.1f} ms, {n_obj} objects", file=sys.stderr)
-    # re-emit the accuracy guards LAST so the driver-captured output tail
-    # always contains them (VERDICT r2 weak item 7)
-    emit("bf16_ap_delta", ap_delta, "|AP@0.5(bf16) - AP@0.5(f32)| (guard, re-emitted)")
-    emit("device_host_ap_delta", ap_dev_host,
-         "|AP@0.5(device path) - AP@0.5(host path)| (guard)")
-    emit("device_host_survivor_delta", surv_delta,
-         "relative survivor-count delta device vs host (guard)")
     emit("predict2d_throughput", mpix_per_s, "Mpix/s", mpix_per_s / baseline)
+    # EVERY metric re-emitted in one compact block at the very end: the
+    # driver captures only the output tail, and the tail alone must suffice
+    # to grade every target (VERDICT r3 item 4)
+    emit_all_final()
 
 
 if __name__ == "__main__":

@@ -345,6 +345,21 @@ class StarDist2D(StarDistBase):
         else:
             rescale = (1, 1)
 
+        labels, res_dict = self._render_survivors(
+            img_shape, disti, points, probi, prob_class=prob_class,
+            rescale=rescale, return_labels=return_labels)
+        from ..ops.nms import LAST_NMS_COUNTERS
+        if LAST_NMS_COUNTERS:
+            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
+        return labels, res_dict
+
+    def _render_survivors(self, img_shape, disti, points, probi,
+                          prob_class=None, rescale=(1, 1), return_labels=True):
+        """Rasterize NMS survivors + build the result dict — the tail of
+        :meth:`_instances_from_prediction` (after NMS), shared with the
+        distributed stitch drivers (parallel/multihost.py) so their
+        per-block polys match the sequential driver's keys and dtypes
+        exactly."""
         if return_labels:
             labels = polygons_to_label(disti, points, prob=probi, shape=img_shape,
                                        scale_dist=rescale)
@@ -353,9 +368,6 @@ class StarDist2D(StarDistBase):
 
         coord = dist_to_coord(disti, points, scale_dist=rescale)
         res_dict = dict(coord=coord, points=points, prob=probi)
-        from ..ops.nms import LAST_NMS_COUNTERS
-        if LAST_NMS_COUNTERS:
-            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
 
         if prob_class is not None:
             prob_class = np.asarray(prob_class)
@@ -369,22 +381,24 @@ class StarDist2D(StarDistBase):
     def _device_instances_fn(self, K, b_key, nms_statics, M, W, chunk, shape):
         """One jitted device program for the ENTIRE instance-prediction
         pipeline: forward pass, sparse candidate extraction (threshold +
-        border + top-K), fused NMS (striped peel + on-device re-band +
-        banded greedy kernel), survivor compaction and packed-label
-        rasterization. No intermediate touches the host; every
-        data-dependent size decision is a static capacity with an in-kernel
-        validity flag the (host) caller inspects once per image.
+        border + top-K), fused NMS (the two-layout global-pair-list kernel,
+        ops/nms2d_fast.py, with its Pallas pair stages), survivor
+        compaction and packed-label rasterization. No intermediate touches
+        the host; every data-dependent size decision is a static capacity
+        with an in-kernel validity flag the (host) caller inspects once per
+        image.
 
-        ``nms_statics`` = (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb)
-        as in ops/nms.py ``_nms_2d_onepass``; ``M`` = survivor slot
-        capacity, ``W`` = raster window, ``shape`` = output label shape.
+        ``nms_statics`` = (axis, Q, NB, AS, OVR, PF, S, use_pallas) as in
+        ops/nms2d_fast.py ``_nms2d_v2``; ``M`` = survivor slot capacity,
+        ``W`` = raster window, ``shape`` = output label shape.
         """
-        from ..ops.nms import _bucket, _nms_2d_onepass_traced
+        from ..ops.nms import _bucket
+        from ..ops.nms2d_fast import _nms2d_v2_traced
         from ..ops.rasterize import _raster2d_packed_dyn
         multiclass = self._is_multiclass()
         extract = self._sparse_extract_fn(K, b_key, multiclass)
         grid = tuple(int(g) for g in self.config.grid)
-        (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb) = nms_statics
+        (axis, Q, NB, AS, OVR, PF, S, use_pallas) = nms_statics
         # top_k requires K <= n output pixels, but the NMS kernels want
         # power-of-two-bucketed shapes (compile-cache hits): pad up on device
         Npad = _bucket(K, minimum=2 * Q)
@@ -415,9 +429,9 @@ class StarDist2D(StarDistBase):
             if multiclass:
                 pc = jnp.take(pc, perm_h, axis=0)
             n_valid = jnp.minimum(n_above, K).astype(jnp.int32)
-            keep, nms_flags, stats = _nms_2d_onepass_traced(
-                d, points, n_valid, dmax, nms_thresh, grid,
-                axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb)
+            keep, nms_flags, stats = _nms2d_v2_traced(
+                d, points, n_valid, nms_thresh, grid,
+                axis, Q, NB, AS, OVR, PF, S, use_pallas)
             kf = keep & valid
             n_surv = jnp.sum(kf.astype(jnp.int32))
             # compact survivors (already in descending-prob = NMS rank order)
@@ -481,7 +495,7 @@ class StarDist2D(StarDistBase):
         (stardist/models/base.py:645-772) with zero host round trips in the
         steady state.
         """
-        from ..ops.nms import _RETRY_CAPS, _bucket, LAST_NMS_COUNTERS
+        from ..ops.nms import _bucket, LAST_NMS_COUNTERS
         multiclass = self._is_multiclass()
         if prob_thresh is None:
             prob_thresh = self.thresholds.prob
@@ -534,67 +548,54 @@ class StarDist2D(StarDistBase):
         K = min(caps.get("K", self._extract_k0), out_size)
         M = caps.get("M", 16384)
         Wwin = caps.get("W", 64)
-        NB, NB2 = caps.get("NB", 1), caps.get("NB2", 2)
-        A_max, Pb = _RETRY_CAPS.get(
-            "onepass", (caps.get("A_max", 64), caps.get("Pb", 1024)))
-        Q, Qb, S, chunk = 256, 512, 16, 256
+        NB = caps.get("NB", 1)
+        AS = caps.get("AS", 16)
+        OVR = caps.get("OVR", 1024)
+        PF = caps.get("PF", 1 << 16)
+        Q, S, chunk = 128, 16, 256
+        use_pallas = jax.default_backend() == "tpu"
         axis = 0 if shape_inst[0] >= shape_inst[1] else 1
-        Npad = _bucket(K, minimum=2 * Q)
-        P_cap0 = min(Npad, 131072)
-        P = min(P_cap0, _bucket(
-            _RETRY_CAPS.get("onepass_todo", caps.get("todo", P_cap0)),
-            minimum=16384))
-        R = min(Npad, max(2 * Qb, Npad * _RETRY_CAPS.get(
-            "onepass_R16", caps.get("R16", 2)) // 16))
 
         pt, nt = jnp.float32(prob_thresh), jnp.float32(nms_thresh)
         for _ in range(16):
             Npad = _bucket(K, minimum=2 * Q)
-            P_cap = min(Npad, 131072)
-            P = min(P, P_cap)
-            CH = min(4096, P)
-            R = min(R, Npad)
+            OVR = min(OVR, Npad)
             fn = self._device_instances_fn(
-                K, b_key, (axis, Q, NB, S, CH, P, R, Qb, NB2, A_max, Pb),
+                K, b_key, (axis, Q, NB, AS, OVR, PF, S, use_pallas),
                 M, Wwin, chunk, shape_inst)
             outs = fn(self.params, self._extra_vars, x_dev, pt, nt)
             labels_dev, dM, pM, probM = outs[:4]
             pcM = outs[9] if multiclass else None
             n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:9])
             n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
-            peel_ok, fits, band_ok2, fits_surv, w_ok = (bool(f) for f in flags)
-            (n_defsurv, n_killed, n_rem, max_amb, max_pairs,
-             n_todo) = (int(s) for s in stats)
+            band_ok, over_ok, pf_ok, fits_surv, w_ok = (bool(f) for f in flags)
+            (max_amb, n_over, n_pairs, n_fine, n_iters) = (int(s) for s in stats)
             retried = False
             if n_above > K:
                 if K >= out_size:
                     break  # cannot happen: n_above <= out_size
                 K = min(out_size, 1 << int(np.ceil(np.log2(n_above))))
                 retried = True
-            if not peel_ok:
+            if not band_ok:
                 if NB >= 8:
                     break
                 NB *= 2
                 retried = True
-            elif not fits:
-                if P < P_cap and n_todo > P:
-                    P = P_cap
-                elif R >= Npad:
-                    break
+            if not over_ok:
+                # many overflow rows = dense field: widen the per-row tier;
+                # otherwise grow the overflow-row capacity (same policy as
+                # ops/nms2d_fast.py nms2d_twolayout_host)
+                if n_over > max(1024, Npad // 8) and AS < 64:
+                    AS = min(_bucket(max_amb, minimum=2 * AS), 64)
+                elif OVR < Npad:
+                    OVR = min(_bucket(n_over, minimum=1024), Npad)
+                elif AS < 64:
+                    AS = min(_bucket(max_amb, minimum=2 * AS), 64)
                 else:
-                    R = min(Npad, R * 2)
-                retried = True
-            elif not band_ok2:
-                if NB2 >= 8:
                     break
-                NB2 = min(8, NB2 * 2)
                 retried = True
-            elif max_amb > A_max or max_pairs > Pb:
-                if max_amb > 4096:
-                    break
-                A_max = min(_bucket(max(max_amb, A_max), minimum=64),
-                            (2 * NB2 + 1) * Qb)
-                Pb = min(_bucket(max(max_pairs, Pb), minimum=1024), Qb * A_max)
+            if not pf_ok:
+                PF = _bucket(n_fine, minimum=1 << 14)
                 retried = True
             if not fits_surv:
                 if n_surv > 2 ** 15 - 1:
@@ -612,21 +613,17 @@ class StarDist2D(StarDistBase):
             # compiles ONE fused variant instead of walking the retry
             # ladder — with the persistent XLA cache that warm variant is a
             # cache hit, not a multi-minute compile)
-            caps.update(K=K, M=M, W=Wwin, NB=NB, NB2=NB2,
-                        A_max=A_max, Pb=Pb, todo=n_todo)
-            _RETRY_CAPS["onepass"] = (A_max, Pb)
-            _RETRY_CAPS["onepass_todo"] = n_todo
-            _RETRY_CAPS["onepass_R16"] = max(1, -((-16 * R) // Npad)) \
-                if R < Npad else 16
-            caps["R16"] = _RETRY_CAPS["onepass_R16"]
+            caps.update(K=K, M=M, W=Wwin, NB=NB, AS=AS, OVR=OVR, PF=PF)
             self._save_device_caps(self._device_predict_caps)
             LAST_NMS_COUNTERS.clear()
             LAST_NMS_COUNTERS.update(
-                n_candidates=min(n_above, K), n_peel_survivor=n_defsurv,
-                n_peel_suppressed=n_killed, n_survivors=n_surv)
+                n_candidates=min(n_above, K), n_peel_survivor=0,
+                n_peel_suppressed=0, n_survivors=n_surv,
+                n_amb_pairs=n_pairs, n_fine_pairs=n_fine, n_iters=n_iters)
             if verbose:
-                print(f"device predict: {min(n_above, K)} candidates, peel "
-                      f"kept {n_rem}, {n_surv} survivors", flush=True)
+                print(f"device predict: {min(n_above, K)} candidates, "
+                      f"{n_pairs} ambiguous pairs ({n_fine} fine), "
+                      f"{n_surv} survivors", flush=True)
             details = dict(dist=dM[:n_surv], points=pM[:n_surv],
                            prob=probM[:n_surv],
                            nms_counters=dict(LAST_NMS_COUNTERS))

@@ -348,6 +348,25 @@ class StarDist3D(StarDistBase):
         else:
             rescale = (1, 1, 1)
 
+        labels, res_dict = self._render_survivors(
+            img_shape, disti, points, probi, prob_class=prob_class,
+            rays=rays, overlap_label=overlap_label,
+            return_labels=return_labels, verbose=verbose)
+        from ..ops.nms import LAST_NMS_COUNTERS
+        if LAST_NMS_COUNTERS:
+            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
+        return labels, res_dict
+
+    def _render_survivors(self, img_shape, disti, points, probi,
+                          prob_class=None, rays=None, overlap_label=None,
+                          return_labels=True, verbose=False):
+        """Rasterize NMS survivors + build the result dict — the tail of
+        :meth:`_instances_from_prediction` (after NMS), shared with the
+        distributed stitch drivers (parallel/multihost.py) so their
+        per-block polys match the sequential driver's keys and dtypes
+        exactly."""
+        if rays is None:
+            rays = rays_from_json(self.config.rays_json)
         if return_labels:
             labels = polyhedron_to_label(disti, points, rays=rays, prob=probi,
                                          shape=img_shape, overlap_label=overlap_label,
@@ -366,9 +385,6 @@ class StarDist3D(StarDistBase):
 
         res_dict = dict(dist=disti, points=points, prob=probi, rays=rays,
                         rays_vertices=rays.vertices, rays_faces=rays.faces)
-        from ..ops.nms import LAST_NMS_COUNTERS
-        if LAST_NMS_COUNTERS:
-            res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
 
         if prob_class is not None:
             prob_class = np.asarray(prob_class)

@@ -1395,12 +1395,18 @@ def _chunked_device_nms(single_fn, N, kernel_size, verbose, prefilter_fn=None,
 def _nms_polygons_device(dist, points, thresh, samples=16, row_block=512,
                          amb_max=64, amb_cap=4096, pair_slots=8192,
                          kernel_size=16384, verbose=False, dist_max=None):
-    """Device NMS driver: banded single-call kernel for large N (candidates
-    interact only within 2*max_dist, so the y-sorted suppression matrix is a
-    narrow band); small-N fixed-size kernel otherwise; exact survivor-chunked
-    rounds as the fallback when the band is too wide (bounded compile sizes)."""
+    """Device NMS driver: two-layout global-pair-list kernel for large N
+    (ops/nms2d_fast.py — stripe sorts + banded bounds sweep + Pallas pair
+    stages + Jacobi fixpoint, ONE dispatch), round-2 onepass as first
+    fallback, small-N fixed-size kernel otherwise; exact survivor-chunked
+    rounds as the last resort (bounded compile sizes)."""
     N = len(dist)
     if N > 2048:
+        from .nms2d_fast import nms2d_twolayout_host
+        keep = nms2d_twolayout_host(dist, points, thresh, S=samples,
+                                    verbose=verbose)
+        if keep is not None:
+            return keep
         keep = _nms_polygons_device_onepass(dist, points, thresh,
                                             samples=samples, verbose=verbose,
                                             dist_max=dist_max)

@@ -1,10 +1,19 @@
-"""Two-layout striped banded NMS for 2D star polygons — round-3 redesign.
+"""Two-layout striped banded NMS for 2D star polygons — global-pair-list
+kernel (round-4 redesign of the round-3 per-block kernel).
 
 TPU-native replacement for the reference 2D NMS
 (stardist/lib/stardist2d.cpp:390-615: greedy score-descending suppression,
 overlap criterion ``A_inter / min(A_i, A_j) > thresh``) built for one goal:
-decide the ~10^7 interacting pairs of a production candidate field in tens
-of milliseconds on one chip.
+decide the ~10^5-10^6 interacting pairs of a production candidate field in
+tens of milliseconds of device time, in ONE dispatch.
+
+Measured design constraints on the tunneled v5e (examples/
+bench_dispatch_floor.py): each host->device dispatch costs ~27-30 ms of
+latency regardless of payload; on-device, sorts/top_k/gathers cost single
+milliseconds at 262k candidates while dense elementwise sweeps are
+essentially free. So the kernel runs everything in one jit, avoids
+per-block loops over thousands of tiny steps (the round-3 kernel's cost),
+and touches each pair-slot buffer O(1) times.
 
 Structure (ONE jit dispatch, no host round trips):
 
@@ -13,31 +22,38 @@ Structure (ONE jit dispatch, no host round trips):
    radius). Any interacting pair (|dy| < T and |dx| < T) is band-local in at
    least one layout (an interval of length < T containing a boundary of one
    stripe partition lies strictly inside a stripe of the other), so each
-   layout's suppression structure is a narrow band of width W = (2*NB+1)*Q
-   (~hundreds, vs thousands for a plain y-sort on a wide image).
-2. *Block sweep* (per layout): for each Q-row block vs its W-column window:
-   - analytic bound cascade (reference stages 1-2,
-     stardist3d_impl.cpp:1209-1330): inscribed/outer-disc lens bounds + bbox
-     intersection decide most pairs;
-   - the surviving ambiguous pairs are compacted (per-row top_k to A slots,
-     block-wide top_k to P slots);
-   - *kernel-lemma lower bound* (new, exact): for star polygon j with
-     inscribed-disc radius rin_j (about its center), the kernel of j
-     contains B(c_j, rin_j), hence lambda*(j - c_j) + c stays inside j for
-     any |c - c_j| <= (1-lambda)*rin_j. Thus
+   layout's suppression structure is a narrow band of width W = (2*NB+1)*Q.
+2. *Grouped bounds sweep* (per layout): G row-blocks at a time (one fused
+   (G, Q, W) elementwise op per step — no per-block dispatches), the
+   analytic bound cascade (reference stages 1-2,
+   stardist3d_impl.cpp:1209-1330: inscribed/outer-disc lens bounds + bbox
+   intersection) decides most pairs, writing the suppression band and a
+   dense ambiguous-pair mask (Npad, W).
+3. *Two-tier pair slots* (NO compaction sort): rows with at most AS
+   ambiguous pairs keep them in their natural (Npad, AS) layout (extracted
+   by AS iterated-argmax passes over the mask — cheap); rows with more
+   ("overflow rows", capacity OVR) contribute their ENTIRE masked window
+   densely as (OVR, W) slots. Pair stages run on the concatenated slot
+   array with validity masks — slot waste is bounded and costs no sort.
+4. *Exact stages on the slot array* (Pallas pair kernels on TPU,
+   ops/pair_overlap.py — the jnp forms multiply HBM traffic by R):
+   - stage A on every slot: *kernel-lemma lower bound* (exact): for star
+     polygon j with inscribed-disc radius rin_j (about its center), the
+     kernel of j contains B(c_j, rin_j), hence lambda*(j - c_j) + c stays
+     inside j for any |c - c_j| <= (1-lambda)*rin_j. Thus
      ``polygon(c_i, min(d_i, lambda*d_j))`` is a subset of the pair's
-     intersection with
-     ``lambda = 1 - |c_i-c_j|/rin_j`` — an O(R) per-pair area lower bound
-     that decides the near-duplicate bulk (same-object candidates) without
-     sampling;
-   - remaining pairs: the exact sampled-overlap estimator (S x S midpoint
-     grid over the bbox intersection — the package-wide overlap estimator,
-     see ops/nms.py) on a second compaction to P2 slots.
-3. *Band Jacobi fixpoint*: greedy semantics (a survivor suppresses all
+     intersection with ``lambda = 1 - |c_i-c_j|/rin_j`` — an O(R) per-pair
+     area lower bound that decides the near-duplicate bulk — plus the 4x4
+     coarse grid of the package-wide sampled-overlap cascade;
+   - stage B: cascade-undecided slots are compacted (ONE 1-operand sort of
+     slot indices) into PF slots for the full S x S grid. Verdicts are
+     scattered into the suppression bands at ``r*W + w`` (the flat band
+     index, since n_blocks*Q = Npad).
+5. *Band Jacobi fixpoint*: greedy semantics (a survivor suppresses all
    later overlapping candidates; suppressed candidates suppress nothing)
    resolved as the unique fixpoint of the triangular recursion with
-   banded matvecs over BOTH layouts per iteration (see
-   ops/nms.py ``_greedy_fixpoint`` for the argument).
+   banded matvecs over BOTH layouts per iteration (see ops/nms.py
+   ``_greedy_fixpoint`` for the argument).
 
 All data-dependent sizes are static capacities with in-kernel overflow
 flags; the host driver inspects one small scalar tuple per call and retries
@@ -64,7 +80,12 @@ def points_in_polygons_acc(dist, points, query):
     einsum: batched (P, S, R) @ (P, R, 4) matmuls degrade to per-batch tiny
     MXU ops on TPU, while the accumulate form is pure wide VPU work.
     Exactness: the accumulated sum has exactly one nonzero term per sample
-    (w in {0,1}), so ``picked`` equals the einsum result bitwise."""
+    (w in {0,1}), so ``picked`` equals the einsum result bitwise. Wedge
+    selection stays atan2-based like points_in_polygons: atan2 is a library
+    call XLA never fuses, so the selection is bitwise-stable across every
+    jit context (a cross-product-sign rule is NOT — XLA:CPU contracts
+    mul-sub into FMA per fusion site, flipping boundary-sample signs
+    inconsistently between a tensor and its rolled copy)."""
     R = dist.shape[-1]
     dphi = 2 * np.pi / R
     u = query - points[..., None, :]          # (..., S, 2)
@@ -79,10 +100,10 @@ def points_in_polygons_acc(dist, points, query):
     c1 = np.cos(angles + dphi).astype(np.float32)
     d1 = jnp.roll(dist, -1, axis=-1)
 
-    v0r = jnp.zeros_like(theta)
-    v0c = jnp.zeros_like(theta)
-    v1r = jnp.zeros_like(theta)
-    v1c = jnp.zeros_like(theta)
+    v0r = jnp.zeros_like(ur)
+    v0c = jnp.zeros_like(ur)
+    v1r = jnp.zeros_like(ur)
+    v1c = jnp.zeros_like(ur)
     for kk in range(R):
         w = (k == kk).astype(dist.dtype)       # (..., S)
         a = dist[..., kk][..., None]           # (..., 1)
@@ -132,37 +153,12 @@ def _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S):
 
 
 # Cascade margin: a coarse 4x4-grid overlap fraction within MARGIN of the
-# decision boundary defers to the full 16x16 grid. Safety measured on the
-# bench model's real 4096^2 field: 0 / 76k disagreements with the pure
-# 16x16 decision at this margin (51% of ambiguous pairs decided coarse).
+# decision boundary ``f* = thresh * min(A_r, A_c) / bbox_inter_area``
+# defers to the full 16x16 grid. Safety measured on the bench model's real
+# 4096^2 field: 0 / 76k disagreements with the pure 16x16 decision at this
+# margin (51% of ambiguous pairs decided coarse). The cascade is identical
+# in every execution path (jnp and Pallas), so all paths agree exactly.
 CASCADE_MARGIN = 0.25
-
-
-def _sampled_sup(d_r, p_r, lo_r, hi_r, a_r, d_c, p_c, lo_c, hi_c, a_c,
-                 thresh, S):
-    """The package-wide exact overlap estimator on a flat pair list.
-
-    Two-stage cascade (identical in every execution path, so all paths
-    agree exactly): a 4x4 midpoint grid decides when its overlap fraction
-    is at least CASCADE_MARGIN away from the decision boundary
-    ``f* = thresh * min(A_r, A_c) / bbox_inter_area``; otherwise the S x S
-    (default 16x16) grid decides: suppress iff
-    ``frac * bbox_inter_area / (min(A_r, A_c) + 1e-10) > thresh``."""
-    frac4, ext = _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, 4)
-    ext_area = ext[:, 0] * ext[:, 1]
-    fstar = thresh * (jnp.minimum(a_r, a_c) + 1e-10) / jnp.maximum(ext_area, 1e-10)
-    coarse_sup = frac4 - fstar > CASCADE_MARGIN
-    coarse_no = fstar - frac4 > CASCADE_MARGIN
-    undecided = ~coarse_sup & ~coarse_no
-    return coarse_sup, undecided
-
-
-def _sampled_sup_fine(d_r, p_r, lo_r, hi_r, a_r, d_c, p_c, lo_c, hi_c, a_c,
-                      thresh, S):
-    """Fine stage of the cascade: full S x S grid decision."""
-    frac, ext = _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S)
-    inter = frac * ext[:, 0] * ext[:, 1]
-    return inter / (jnp.minimum(a_r, a_c) + 1e-10) > thresh
 
 
 # ---------------------------------------------------------------------------
@@ -195,23 +191,12 @@ def _inner_radius(dist):
 
 
 # ---------------------------------------------------------------------------
-# the fused two-layout kernel
+# the fused global-pair-list kernel
 # ---------------------------------------------------------------------------
 
-def _compact_topk(flags, cap):
-    """Select up to `cap` set positions of a flat 0/1 flag vector (earliest
-    first). Returns (sel_idx (cap,), sel_ok (cap,), n_set)."""
-    n = flags.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    keys = jnp.where(flags, n - pos, 0)
-    vals, sel = jax.lax.top_k(keys, cap)
-    ok = vals > 0
-    return jnp.where(ok, sel, 0), ok, jnp.sum(flags.astype(jnp.int32))
-
-
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
-def _nms2d_twolayout(dist, points, rank, n_real, thresh,
-                     axis, Q, NB, A, P, P2, S, stages=5):
+@functools.partial(jax.jit, static_argnums=tuple(range(5, 13)))
+def _nms2d_v2(dist, points, rank, n_real, thresh,
+              axis, Q, NB, AS, OVR, PF, S, use_pallas):
     """Full 2D greedy NMS in one dispatch (see module doc).
 
     dist (Npad, R) f32 (pad 1e-3), points (Npad, 2) f32 full-res px
@@ -219,14 +204,16 @@ def _nms2d_twolayout(dist, points, rank, n_real, thresh,
     n_real traced count, thresh traced f32.
 
     Static: axis (stripe axis), Q (block rows), NB (band half-width in
-    blocks), A (per-row ambiguous slots), P (per-block pair slots), P2
-    (per-block sampled-stage slots), S (estimator grid).
+    blocks), AS (per-row ambiguous slots), OVR (overflow-row slots), PF
+    (fine-stage slots), S (estimator grid), use_pallas (TPU pair kernels
+    vs the pure-jnp stage implementations).
 
     Returns (keep (Npad,) bool in input order,
-             flags = (band_ok, amb_ok, pairs_ok, p2_ok),
-             stats = (max_amb, max_pairs, max_todo, n_iters)).
+             flags = (band_ok, over_ok, pf_ok),
+             stats = (max_amb_row, n_over, n_pairs, n_fine, n_iters)).
     `keep` is only meaningful when all flags are True.
     """
+    from .pair_overlap import pair_stage_coarse, pair_stage_fine
     Npad, R = dist.shape
     n_blocks = Npad // Q
     W = (2 * NB + 1) * Q
@@ -245,10 +232,37 @@ def _nms2d_twolayout(dist, points, rank, n_real, thresh,
     xmax = jnp.max(jnp.where(valid, x, -jnp.inf))
     gap = jnp.maximum(xmax - x0, 0.0) + 2.0 * T + 2.0
     base_idx = jnp.arange(Npad, dtype=jnp.int32)
-    col_pos = jnp.arange(W, dtype=jnp.int32)
+    col_iota = jnp.arange(W, dtype=jnp.int32)
 
-    layouts = []
+    # grouped sweep geometry: G row-blocks per fused step, sized so the
+    # (G, Q, W) f32 temporaries stay ~25-50 MB regardless of Q/NB
+    G = max(1, min((1 << 23) // (Q * W), n_blocks))
+    while n_blocks % G:
+        G -= 1
+    n_groups = n_blocks // G
+
+    def padw(v, value):
+        widths = [(pad, pad)] + [(0, 0)] * (v.ndim - 1)
+        return jnp.pad(v, widths, constant_values=value)
+
+    def windows(a_padded, g):
+        """(G, Q, ...) row blocks and (G, W, ...) band windows of group g."""
+        i0 = g * G * Q
+        rows = jax.lax.dynamic_slice_in_dim(a_padded, i0 + pad, G * Q, 0)
+        rows = rows.reshape((G, Q) + a_padded.shape[1:])
+        seg = jax.lax.dynamic_slice_in_dim(a_padded, i0, (G + 2 * NB) * Q, 0)
+        view = seg.reshape((G + 2 * NB, Q) + a_padded.shape[1:])
+        win = jnp.concatenate([view[k:k + G] for k in range(2 * NB + 1)],
+                              axis=1)                    # (G, W, ...)
+        return rows, win
+
     band_ok = jnp.bool_(True)
+    max_amb = jnp.int32(0)
+    n_over_t = jnp.int32(0)
+    n_pairs_t = jnp.int32(0)
+    n_fine_t = jnp.int32(0)
+    perms = []
+    bands = []
     for off in (0.0, 0.5):
         stripe = jnp.floor((y + off * 2.0 * T) / (2.0 * T))
         key = jnp.where(valid, stripe * gap + (x - x0), jnp.inf)
@@ -274,146 +288,210 @@ def _nms2d_twolayout(dist, points, rank, n_real, thresh,
         rin_s = _inner_radius(d_s)
         rout_s = jnp.max(d_s, axis=-1)
         valid_s = jnp.isfinite(key_s)
+        # feature matrix: pair gathers later are single row takes
+        # layout: [d(R), py, px, loy, lox, hiy, hix, area, rin]
+        F = jnp.concatenate([d_s, p_s, lo_s, hi_s, area_s[:, None],
+                             rin_s[:, None]], axis=1)          # (Npad, R+8)
+        pad_row = jnp.concatenate([
+            jnp.full((R,), 1e-3, jnp.float32),
+            jnp.full((2,), 1e9, jnp.float32),
+            jnp.full((2,), -1e9, jnp.float32),
+            jnp.full((2,), -1e9, jnp.float32),
+            jnp.asarray([1.0, 1e-3], jnp.float32)])
+        F_pad = jnp.concatenate([
+            jnp.broadcast_to(pad_row, (pad, R + 8)), F,
+            jnp.broadcast_to(pad_row, (pad, R + 8))], axis=0)
 
-        def padw(v, value):
-            widths = [(pad, pad)] + [(0, 0)] * (v.ndim - 1)
-            return jnp.pad(v, widths, constant_values=value)
+        p_pad = padw(p_s, 1e9)
+        rout_pad = padw(rout_s, 1e-3)
+        rin_pad = padw(rin_s, 1e-3)
+        area_pad = padw(area_s, 1.0)
+        lo_pad = padw(lo_s, -1e9)
+        hi_pad = padw(hi_s, -1e9)
+        rank_pad = padw(rank_s, jnp.int32(2 ** 30))
+        valid_pad = padw(valid_s, False)
 
-        layouts.append(dict(
-            perm=perm,
-            d=padw(d_s, 1e-3), p=padw(p_s, 1e9),
-            lo=padw(lo_s, -1e9), hi=padw(hi_s, -1e9),
-            area=padw(area_s, 1.0), rin=padw(rin_s, 1e-3),
-            rout=padw(rout_s, 1e-3),
-            rank=padw(rank_s, jnp.int32(2 ** 30)),
-            valid=padw(valid_s, False),
-        ))
+        # ---- grouped bounds sweep: sup band + ambiguous mask -------------
+        def sweep(g, carry):
+            band, amb_buf, amb_cnt = carry
+            p_r, p_c = windows(p_pad, g)
+            rout_r, rout_c = windows(rout_pad, g)
+            rin_r, rin_c = windows(rin_pad, g)
+            area_r, area_c = windows(area_pad, g)
+            lo_r, lo_c = windows(lo_pad, g)
+            hi_r, hi_c = windows(hi_pad, g)
+            rank_r, rank_c = windows(rank_pad, g)
+            valid_r, valid_c = windows(valid_pad, g)
 
-    max_amb = jnp.int32(0)
-    max_pairs = jnp.int32(0)
-    max_todo = jnp.int32(0)
-    bands = []
-    for L in layouts:
-        dL, pL = L["d"], L["p"]
-        loL, hiL, areaL = L["lo"], L["hi"], L["area"]
-        rinL, routL = L["rin"], L["rout"]
-        rankL, validL = L["rank"], L["valid"]
-        # one feature matrix per layout so pair gathers are single takes:
-        # [d(R), py, px, loy, lox, hiy, hix, area, rin]
-        FL = jnp.concatenate([dL, pL, loL, hiL, areaL[:, None],
-                              rinL[:, None]], axis=1)          # (Npad+2pad, R+8)
-
-        def unpack(F):
-            return (F[:, :R], F[:, R:R + 2], F[:, R + 2:R + 4],
-                    F[:, R + 4:R + 6], F[:, R + 6], F[:, R + 7])
-
-        def block_fill(b, carry):
-            sup_acc, m_amb, m_pairs, m_todo = carry
-            i0 = b * Q
-            slr = lambda a: jax.lax.dynamic_slice_in_dim(a, i0 + pad, Q, 0)
-            slc = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W, 0)
-            p_r, a_r = slr(pL), slr(areaL)
-            lo_r, hi_r = slr(loL), slr(hiL)
-            rin_r, rout_r = slr(rinL), slr(routL)
-            rank_r, valid_r = slr(rankL), slr(validL)
-            p_c, a_c = slc(pL), slc(areaL)
-            lo_c, hi_c = slc(loL), slc(hiL)
-            rin_c, rout_c = slc(rinL), slc(routL)
-            rank_c, valid_c = slc(rankL), slc(validL)
-            F_r, F_c = slr(FL), slc(FL)
-
-            pair_ok = ((rank_c[None, :] > rank_r[:, None])
-                       & valid_c[None, :] & valid_r[:, None])
-
-            # ---- stage 1: lens + bbox bounds, dense (Q, W) ----
-            ext = jnp.maximum(jnp.minimum(hi_r[:, None], hi_c[None]) -
-                              jnp.maximum(lo_r[:, None], lo_c[None]), 0.0)
+            pair_ok = ((rank_c[:, None] > rank_r[:, :, None])
+                       & valid_c[:, None] & valid_r[:, :, None])
+            ext = jnp.maximum(jnp.minimum(hi_r[:, :, None], hi_c[:, None]) -
+                              jnp.maximum(lo_r[:, :, None], lo_c[:, None]), 0.0)
             bbox_inter = ext[..., 0] * ext[..., 1]
-            dc = jnp.sqrt(jnp.sum((p_r[:, None] - p_c[None]) ** 2, axis=-1))
-            denom = jnp.minimum(a_r[:, None], a_c[None]) + 1e-10
-            ub = jnp.minimum(_lens_ub(rout_r[:, None], rout_c[None], dc),
+            dc = jnp.sqrt(jnp.sum((p_r[:, :, None] - p_c[:, None]) ** 2,
+                                  axis=-1))
+            denom = jnp.minimum(area_r[:, :, None], area_c[:, None]) + 1e-10
+            ub = jnp.minimum(_lens_ub(rout_r[:, :, None], rout_c[:, None], dc),
                              bbox_inter) / denom
-            lb = _lens_lb(rin_r[:, None], rin_c[None], dc) / denom
+            lb = _lens_lb(rin_r[:, :, None], rin_c[:, None], dc) / denom
             sup = (lb > thresh) & pair_ok
             amb = pair_ok & ~sup & (ub > thresh)
-            m_amb = jnp.maximum(m_amb, jnp.max(jnp.sum(amb, axis=1)))
-            if stages == 0:
-                sup_acc = jax.lax.dynamic_update_slice(
-                    sup_acc, sup.astype(jnp.bfloat16)[None], (b, 0, 0))
-                return sup_acc, m_amb, m_pairs, m_todo
+            band = jax.lax.dynamic_update_slice(
+                band, sup.astype(jnp.bfloat16), (g * G, 0, 0))
+            amb_buf = jax.lax.dynamic_update_slice(
+                amb_buf, amb.reshape(G * Q, W), (g * G * Q, 0))
+            amb_cnt = jax.lax.dynamic_update_slice_in_dim(
+                amb_cnt, jnp.sum(amb, axis=2).reshape(G * Q).astype(jnp.int32),
+                g * G * Q, 0)
+            return band, amb_buf, amb_cnt
 
-            # ---- per-row selection (A slots) + block compaction (P) ----
-            keys = jnp.where(amb, W - col_pos[None, :], 0)
-            vals_a, cols_a = jax.lax.top_k(keys, A)          # (Q, A)
-            ok_a = vals_a > 0
-            if stages == 1:
-                sup = sup | (ok_a.any(axis=1)[:, None] & amb)  # keep live
-                sup_acc = jax.lax.dynamic_update_slice(
-                    sup_acc, sup.astype(jnp.bfloat16)[None], (b, 0, 0))
-                return sup_acc, m_amb, m_pairs, m_todo
-            sel, ok_p, n_pairs = _compact_topk(ok_a.reshape(Q * A), P)
-            m_pairs = jnp.maximum(m_pairs, n_pairs)
-            pr = sel // A
-            pc = jnp.where(ok_p, cols_a.reshape(Q * A)[sel], 0)
+        band0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
+        amb0 = jnp.zeros((Npad, W), bool)
+        cnt0 = jnp.zeros(Npad, jnp.int32)
+        band, amb_buf, amb_cnt = jax.lax.fori_loop(
+            0, n_groups, sweep, (band0, amb0, cnt0))
+        max_amb = jnp.maximum(max_amb, jnp.max(amb_cnt))
+        n_pairs_t = n_pairs_t + jnp.sum(amb_cnt)
 
-            # pair data: two single-take row gathers of the feature matrix
+        # ---- tier 2 rows: amb_cnt > AS, handled densely -------------------
+        over = amb_cnt > AS
+        n_over = jnp.sum(over.astype(jnp.int32))
+        n_over_t = jnp.maximum(n_over_t, n_over)
+        okey = jnp.where(over, base_idx, jnp.int32(Npad))
+        okey_s, rows_all = jax.lax.sort((okey, base_idx), dimension=0,
+                                        num_keys=1)
+        ok_o = okey_s[:OVR] < Npad
+        rows_o = jnp.where(ok_o, rows_all[:OVR], 0)
+        amb_o = jnp.take(amb_buf, rows_o, axis=0) & ok_o[:, None]
+
+        # ---- tier 1: up to AS ambiguous columns per non-overflow row
+        # (iterated argmax over the masked buffer)
+        def extract(k, carry):
+            buf, cols, ok = carry
+            idx = jnp.argmax(buf, axis=1).astype(jnp.int32)   # first set col
+            has = jnp.any(buf, axis=1)    # idx points at a set bit iff any
+            cols = jax.lax.dynamic_update_slice_in_dim(
+                cols, idx[:, None], k, 1)
+            ok = jax.lax.dynamic_update_slice_in_dim(
+                ok, has[:, None], k, 1)
+            buf = buf & (col_iota[None, :] != idx[:, None])
+            return buf, cols, ok
+
+        cols0 = jnp.zeros((Npad, AS), jnp.int32)
+        ok0 = jnp.zeros((Npad, AS), bool)
+        _, cols_a, ok_a = jax.lax.fori_loop(
+            0, AS, extract, (amb_buf & ~over[:, None], cols0, ok0))
+
+        # ---- unified slot arrays (no compaction: tier-1 slots stay in
+        # their (Npad, AS) layout, tier-2 in (OVR, W)) ----------------------
+        pr = jnp.concatenate([
+            jnp.broadcast_to(base_idx[:, None], (Npad, AS)).reshape(-1),
+            jnp.broadcast_to(rows_o[:, None], (OVR, W)).reshape(-1)])
+        pw = jnp.concatenate([
+            cols_a.reshape(-1),
+            jnp.broadcast_to(col_iota[None, :], (OVR, W)).reshape(-1)])
+        ok_p = jnp.concatenate([ok_a.reshape(-1), amb_o.reshape(-1)])
+
+        def unpack(Fg):
+            return (Fg[:, :R], Fg[:, R:R + 2], Fg[:, R + 2:R + 4],
+                    Fg[:, R + 4:R + 6], Fg[:, R + 6], Fg[:, R + 7])
+
+        # ---- stage A (cheap, all slots): 4x4 grid + erosion lower bound.
+        # CHUNKED: the slot count scales with Npad*AS + OVR*W (millions on
+        # dense fields) and each slot gathers two (R+8)-float feature rows —
+        # materializing them all at once multiplies HBM by ~300 bytes/slot
+        # (measured 23 GB demand on a 65k clustered field at AS=64). A
+        # fori_loop over fixed-size chunks bounds peak memory at
+        # O(CH * features) while keeping total work identical.
+        n_slots = Npad * AS + OVR * W
+        CH = 1 << 10
+        while CH < min(1 << 18, n_slots):
+            CH *= 2
+        n_slots_p = -(-n_slots // CH) * CH
+        pr = jnp.pad(pr, (0, n_slots_p - n_slots))
+        pw = jnp.pad(pw, (0, n_slots_p - n_slots))
+        ok_p = jnp.pad(ok_p, (0, n_slots_p - n_slots))
+        band_flat = band.reshape(Npad * W)
+        OOB = jnp.int32(Npad * W)           # scatter index meaning "drop"
+
+        def stageA(ci, carry):
+            band_flat, fine_mask = carry
+            sl = ci * CH
+            pr_c = jax.lax.dynamic_slice(pr, (sl,), (CH,))
+            pw_c = jax.lax.dynamic_slice(pw, (sl,), (CH,))
+            ok_c = jax.lax.dynamic_slice(ok_p, (sl,), (CH,))
+            code_c = pr_c * W + pw_c        # flat band index of each slot
+            pc_c = (pr_c // Q) * Q + pw_c   # padded column row index
             d_rp, p_rp, lo_rp, hi_rp, a_rp, rin_rp = unpack(
-                jnp.take(F_r, pr, axis=0))
+                jnp.take(F_pad, pr_c + pad, axis=0))
             d_cp, p_cp, lo_cp, hi_cp, a_cp, rin_cp = unpack(
-                jnp.take(F_c, pc, axis=0))
+                jnp.take(F_pad, pc_c, axis=0))
+            plo_p = jnp.maximum(lo_rp, lo_cp)
+            ext_p = jnp.maximum(jnp.minimum(hi_rp, hi_cp) - plo_p, 0.0)
+            min_a = jnp.minimum(a_rp, a_cp)
+            ext_area = ext_p[:, 0] * ext_p[:, 1]
+            fstar = thresh * (min_a + 1e-10) / jnp.maximum(ext_area, 1e-10)
+            if use_pallas:
+                frac4, lb0_area = pair_stage_coarse(
+                    d_rp, p_rp, d_cp, p_cp, plo_p, ext_p, rin_rp, rin_cp,
+                    interpret=False)
+            else:
+                lb0_area = _erosion_lb_area(d_rp, p_rp, rin_rp,
+                                            d_cp, p_cp, rin_cp)
+                frac4, _ = _pair_frac(d_rp, p_rp, lo_rp, hi_rp,
+                                      d_cp, p_cp, lo_cp, hi_cp, 4)
+            sup0 = ok_c & (lb0_area / (min_a + 1e-10) > thresh)
+            coarse_sup = frac4 - fstar > CASCADE_MARGIN
+            coarse_no = fstar - frac4 > CASCADE_MARGIN
+            sup_pair = (sup0 | coarse_sup) & ok_c
+            fine_todo = ok_c & ~coarse_sup & ~coarse_no & ~sup0
+            band_flat = band_flat.at[jnp.where(sup_pair, code_c, OOB)].max(
+                jnp.bfloat16(1.0), mode="drop")
+            fine_mask = jax.lax.dynamic_update_slice(fine_mask, fine_todo,
+                                                     (sl,))
+            return band_flat, fine_mask
 
-            # ---- stage A0: kernel-lemma exact lower bound ----
-            lb0 = _erosion_lb_area(d_rp, p_rp, rin_rp, d_cp, p_cp, rin_cp)
-            sup0 = ok_p & (lb0 / (jnp.minimum(a_rp, a_cp) + 1e-10) > thresh)
-            if stages == 2:
-                sup = sup.at[pr, pc].max(sup0)
-                sup = sup & pair_ok
-                sup_acc = jax.lax.dynamic_update_slice(
-                    sup_acc, sup.astype(jnp.bfloat16)[None], (b, 0, 0))
-                return sup_acc, m_amb, m_pairs, m_todo
+        band_flat, fine_mask = jax.lax.fori_loop(
+            0, n_slots_p // CH, stageA,
+            (band_flat, jnp.zeros(n_slots_p, bool)))
 
-            # ---- stage A: coarse 4x4 cascade on the P slots ----
-            supA, undA = _sampled_sup(
-                d_rp, p_rp, lo_rp, hi_rp, a_rp,
-                d_cp, p_cp, lo_cp, hi_cp, a_cp, thresh, S)
-            supA = (supA | sup0) & ok_p
-            if stages == 3:
-                sup = sup.at[pr, pc].max(supA)
-                sup = sup & pair_ok
-                sup_acc = jax.lax.dynamic_update_slice(
-                    sup_acc, sup.astype(jnp.bfloat16)[None], (b, 0, 0))
-                return sup_acc, m_amb, m_pairs, m_todo
+        # ---- stage B: full S x S on the cascade's undecided (ONE global
+        # compaction sort of slot indices, then a single bounded pass) ------
+        slot_pos = jnp.arange(n_slots_p, dtype=jnp.int32)
+        fkey = jnp.where(fine_mask, slot_pos, jnp.int32(n_slots_p))
+        fkey_s = jax.lax.sort(fkey, dimension=0)
+        ok_f = fkey_s[:PF] < n_slots_p
+        sel_slot = jnp.where(ok_f, fkey_s[:PF], 0)
+        n_fine = jnp.sum(fine_mask.astype(jnp.int32))
+        n_fine_t = jnp.maximum(n_fine_t, n_fine)
+        pr_f = jnp.take(pr, sel_slot)
+        pc_f = (pr_f // Q) * Q + jnp.take(pw, sel_slot)
+        code_f = pr_f * W + jnp.take(pw, sel_slot)
+        d_r2, p_r2, lo_r2, hi_r2, a_r2, _ = unpack(
+            jnp.take(F_pad, pr_f + pad, axis=0))
+        d_c2, p_c2, lo_c2, hi_c2, a_c2, _ = unpack(
+            jnp.take(F_pad, pc_f, axis=0))
+        plo_f = jnp.maximum(lo_r2, lo_c2)
+        ext_f = jnp.maximum(jnp.minimum(hi_r2, hi_c2) - plo_f, 0.0)
+        if use_pallas:
+            frac_f = pair_stage_fine(d_r2, p_r2, d_c2, p_c2, plo_f, ext_f,
+                                     S=S, interpret=False)
+        else:
+            frac_f, _ = _pair_frac(d_r2, p_r2, lo_r2, hi_r2,
+                                   d_c2, p_c2, lo_c2, hi_c2, S)
+        inter_f = frac_f * ext_f[:, 0] * ext_f[:, 1]
+        supB = ok_f & (inter_f / (jnp.minimum(a_r2, a_c2) + 1e-10) > thresh)
 
-            # ---- stage B: fine S x S grid on the undecided (P2 slots) ----
-            todo = ok_p & undA & ~sup0
-            sel2, ok2, n_todo = _compact_topk(todo, P2)
-            m_todo = jnp.maximum(m_todo, n_todo)
-            d_r2, p_r2, lo_r2, hi_r2, a_r2, _ = unpack(
-                jnp.take(F_r, jnp.take(pr, sel2), axis=0))
-            d_c2, p_c2, lo_c2, hi_c2, a_c2, _ = unpack(
-                jnp.take(F_c, jnp.take(pc, sel2), axis=0))
-            supB = _sampled_sup_fine(
-                d_r2, p_r2, lo_r2, hi_r2, a_r2,
-                d_c2, p_c2, lo_c2, hi_c2, a_c2, thresh, S)
-            supB = supB & ok2
-
-            # fold pair verdicts into the block (scatter-max, few K updates)
-            sup = sup.at[pr, pc].max(supA)
-            sup = sup.at[jnp.take(pr, sel2), jnp.take(pc, sel2)].max(supB)
-            sup = sup & pair_ok
-            sup_acc = jax.lax.dynamic_update_slice(
-                sup_acc, sup.astype(jnp.bfloat16)[None], (b, 0, 0))
-            return sup_acc, m_amb, m_pairs, m_todo
-
-        sup0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
-        sup_band, max_amb, max_pairs, max_todo = jax.lax.fori_loop(
-            0, n_blocks, block_fill, (sup0, max_amb, max_pairs, max_todo))
-        bands.append(sup_band)
+        # ---- fold the fine verdicts into the band -------------------------
+        band_flat = band_flat.at[jnp.where(supB, code_f, OOB)].max(
+            jnp.bfloat16(1.0), mode="drop")
+        bands.append(band_flat.reshape(n_blocks, Q, W))
+        perms.append(perm)
 
     # ---- two-layout band Jacobi fixpoint (greedy recursion, base order) ----
     inv_perms = []
-    for L in layouts:
-        inv = jnp.zeros(Npad, jnp.int32).at[L["perm"]].set(base_idx)
+    for perm in perms:
+        inv = jnp.zeros(Npad, jnp.int32).at[perm].set(base_idx)
         inv_perms.append(inv)
 
     def band_killed(keep_sorted, band):
@@ -434,8 +512,8 @@ def _nms2d_twolayout(dist, points, rank, n_real, thresh,
     def body(c):
         t, keep, _ = c
         killed = jnp.zeros(Npad, bool)
-        for L, band, inv in zip(layouts, bands, inv_perms):
-            kL = band_killed(jnp.take(keep, L["perm"]), band)
+        for perm, band, inv in zip(perms, bands, inv_perms):
+            kL = band_killed(jnp.take(keep, perm), band)
             killed = killed | jnp.take(kL, inv)
         new = valid & ~killed
         return t + 1, new, jnp.any(new != keep)
@@ -443,9 +521,27 @@ def _nms2d_twolayout(dist, points, rank, n_real, thresh,
     n_it, keep, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
 
-    flags = (band_ok, max_amb <= A, max_pairs <= P, max_todo <= P2)
-    stats = (max_amb, max_pairs, max_todo, n_it)
+    flags = (band_ok, n_over_t <= OVR, n_fine_t <= PF)
+    stats = (max_amb, n_over_t, n_pairs_t, n_fine_t, n_it)
     return keep, flags, stats
+
+
+@functools.partial(jax.jit, static_argnums=tuple(range(4, 13)))
+def _nms2d_v2_traced(dist, points, n_real, thresh, grid,
+                     axis, Q, NB, AS, OVR, PF, S=16, use_pallas=True):
+    """`_nms2d_v2` with the device-predict calling convention: consumes the
+    sparse-extraction outputs directly (grid-unit integer points, traced
+    candidate count), so the NMS dispatch needs NO host-side inspection of
+    the candidate field. ``grid`` is the static (gy, gx) subsampling
+    factor. Candidates must already be sorted by descending score."""
+    Npad = dist.shape[0]
+    valid = jnp.arange(Npad) < n_real
+    pts = points.astype(jnp.float32) * jnp.asarray(grid, jnp.float32)[None]
+    pts = jnp.where(valid[:, None], pts, 1e9)
+    rank = jnp.where(valid, jnp.arange(Npad, dtype=jnp.int32),
+                     jnp.int32(2 ** 30))
+    return _nms2d_v2(jnp.maximum(dist.astype(jnp.float32), 1e-3), pts, rank,
+                     n_real, thresh, axis, Q, NB, AS, OVR, PF, S, use_pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -466,14 +562,22 @@ def _pad_np(x, n, value=0.0):
     return np.pad(x, widths, constant_values=value)
 
 
+def _pad_jnp(x, n, value):
+    if x.shape[0] >= n:
+        return x
+    widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=value)
+
+
 # last-working static capacities, persisted across calls (and to disk via
-# ops.nms cap persistence) so the warm path is one dispatch, zero retries
-_CAPS = {"NB": 1, "A": 16, "P": 2048, "P2": 1024}
+# the model layer's device-caps persistence) so the warm path is one
+# dispatch, zero retries
+_CAPS = {"NB": 1, "AS": 16, "OVR": 1024, "PF": 1 << 16}
 
 
-def nms2d_twolayout_host(dist, points, thresh, Q=256, S=16, verbose=False,
+def nms2d_twolayout_host(dist, points, thresh, Q=128, S=16, verbose=False,
                          band_bytes_cap=6 << 30, caps=None):
-    """Host driver for `_nms2d_twolayout`: pad/bucket, dispatch, inspect the
+    """Host driver for `_nms2d_v2`: pad/bucket, dispatch, inspect the
     overflow flags, retry with the next capacity bucket. Candidates must be
     pre-sorted by descending score. Returns the keep bool mask (input order)
     or None when the field exceeds the band limits (caller falls back)."""
@@ -482,7 +586,11 @@ def nms2d_twolayout_host(dist, points, thresh, Q=256, S=16, verbose=False,
     axis = int(np.argmax(points.max(0) - points.min(0)))
     Npad = _bucket(N, minimum=2 * Q)
     caps = _CAPS if caps is None else caps
-    NB, A, P, P2 = caps["NB"], caps["A"], caps["P"], caps["P2"]
+    NB = caps.get("NB", 1)
+    AS = caps.get("AS", 16)
+    OVR = min(caps.get("OVR", 1024), Npad)
+    PF = caps.get("PF", 1 << 16)
+    use_pallas = jax.default_backend() == "tpu"
     dist_p = jnp.asarray(_pad_np(np.asarray(dist, np.float32), Npad, 1e-3)) \
         if isinstance(dist, np.ndarray) else _pad_jnp(dist, Npad, 1e-3)
     points_p = jnp.asarray(_pad_np(points, Npad, 1e9))
@@ -491,37 +599,37 @@ def nms2d_twolayout_host(dist, points, thresh, Q=256, S=16, verbose=False,
         W = (2 * NB + 1) * Q
         if Npad * W * 2 > band_bytes_cap:
             return None
-        keep, flags, stats = jax.device_get(_nms2d_twolayout(
+        keep, flags, stats = jax.device_get(_nms2d_v2(
             dist_p, points_p, rank_p, jnp.int32(N), jnp.float32(thresh),
-            axis, Q, NB, A, P, P2, S))
-        b_ok, a_ok, p_ok, p2_ok = (bool(f) for f in flags)
-        m_amb, m_pairs, m_todo, n_it = (int(s) for s in stats)
-        if b_ok and a_ok and p_ok and p2_ok:
-            caps.update(NB=NB, A=A, P=P, P2=P2)
+            axis, Q, NB, AS, OVR, PF, S, use_pallas))
+        b_ok, o_ok, pf_ok = (bool(f) for f in flags)
+        m_amb, n_over, n_pairs, n_fine, n_it = (int(s) for s in stats)
+        if b_ok and o_ok and pf_ok:
+            caps.update(NB=NB, AS=AS, OVR=OVR, PF=PF)
             if verbose:
-                print(f"NMS(twolayout): N={N} amb<= {m_amb} pairs<={m_pairs} "
-                      f"todo<={m_todo} iters={n_it}", flush=True)
+                print(f"NMS(v2): N={N} amb<={m_amb} over={n_over} "
+                      f"pairs={n_pairs} fine={n_fine} iters={n_it}",
+                      flush=True)
             return np.asarray(keep)[:N]
         if verbose:
-            print(f"NMS(twolayout): retry (band={b_ok} amb={m_amb}/{A} "
-                  f"pairs={m_pairs}/{P} todo={m_todo}/{P2})", flush=True)
+            print(f"NMS(v2): retry (band={b_ok} over={n_over}/{OVR} "
+                  f"fine={n_fine}/{PF} amb={m_amb} AS={AS})", flush=True)
         if not b_ok:
             if NB >= 8:
                 return None
             NB *= 2
-        if not a_ok:
-            if m_amb > 2048:
-                return None
-            A = _bucket(m_amb, minimum=16)
-        if not p_ok:
-            P = min(_bucket(m_pairs, minimum=1024), Q * A)
-        if not p2_ok:
-            P2 = min(_bucket(m_todo, minimum=512), P)
+        if not o_ok:
+            # many overflow rows = the field is dense everywhere: widen the
+            # cheap per-row tier instead of the dense overflow windows (whose
+            # slot count scales with OVR*W)
+            if n_over > max(1024, Npad // 8) and AS < 64:
+                AS = min(_bucket(m_amb, minimum=2 * AS), 64)
+            else:
+                OVR = min(_bucket(n_over, minimum=1024), Npad)
+                if n_over > OVR:     # still over at the Npad clamp
+                    if AS >= 64:
+                        return None
+                    AS = min(_bucket(m_amb, minimum=2 * AS), 64)
+        if not pf_ok:
+            PF = _bucket(n_fine, minimum=1 << 14)
     return None
-
-
-def _pad_jnp(x, n, value):
-    if x.shape[0] >= n:
-        return x
-    widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, widths, constant_values=value)

@@ -1,9 +1,12 @@
-"""Multi-host block distribution (VERDICT r2 item 8): a 2-process jax CPU
-cluster partitions the BlockND cover, exchanges only surviving candidates
-via process_allgather (the DCN collective), and replays the deterministic
-ownership stitch — the result must be bit-identical to the single-process
-``predict_instances_big`` (reference sequential driver contract,
-stardist/models/base.py:952-975)."""
+"""Multi-host block distribution (VERDICT r2 item 8 / r3 item 6): a
+2-process jax CPU cluster partitions the BlockND cover, exchanges only
+surviving candidates via process_allgather (the DCN collective), and runs
+the deterministic ownership stitch — the result must be bit-identical to
+the single-process ``predict_instances_big`` (reference sequential driver
+contract, stardist/models/base.py:952-975). Covers 2D and 3D, and both
+stitch modes (replicated: every process replays the full stitch;
+partitioned: each process rasterizes only its own blocks and the parent
+recombines the disjoint write regions)."""
 import os
 import socket
 import subprocess
@@ -12,8 +15,8 @@ import sys
 import numpy as np
 import pytest
 
-from stardist_tpu.models import Config2D, StarDist2D
-from utils import synthetic_nuclei_2d
+from stardist_tpu.models import Config2D, StarDist2D, Config3D, StarDist3D
+from utils import synthetic_nuclei_2d, synthetic_nuclei_3d
 
 
 def _free_port():
@@ -24,8 +27,28 @@ def _free_port():
     return port
 
 
+def _run_cluster(tmp_path, data_npz, out_npz, model_kind, stitch, n_procs=2):
+    port = _free_port()
+    env = dict(os.environ)
+    # detach from the axon TPU backend; plain multi-process CPU cluster
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(p), str(n_procs), str(port),
+             str(tmp_path), str(data_npz), str(out_npz), model_kind, stitch],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(n_procs)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+
+
 @pytest.mark.slow
-def test_multiprocess_blocks(tmp_path):
+def test_multiprocess_blocks_2d(tmp_path):
     imgs, lbls = [], []
     for i in range(2):
         img, lbl = synthetic_nuclei_2d((96, 96), seed=i)
@@ -44,27 +67,54 @@ def test_multiprocess_blocks(tmp_path):
         prob_thresh=0.5, show_progress=False)
 
     data_npz = tmp_path / "img.npz"
-    out_npz = tmp_path / "out.npz"
     np.savez(str(data_npz), img=big_img)
 
-    port = _free_port()
-    env = dict(os.environ)
-    # detach from the axon TPU backend; plain multi-process CPU cluster
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(p), "2", str(port),
-             str(tmp_path), str(data_npz), str(out_npz)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for p in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-2000:]
+    # replicated stitch: process 0's full result must be bit-identical
+    out_npz = tmp_path / "out.npz"
+    _run_cluster(tmp_path, data_npz, out_npz, "2d", "replicated")
+    res = np.load(str(out_npz))
+    assert np.array_equal(res["labels"], labels_ref)
+    assert np.allclose(res["prob"], polys_ref["prob"])
+    assert np.array_equal(res["points"], polys_ref["points"])
 
+    # partitioned stitch: polys identical on every process; each process's
+    # labels cover only its own blocks — disjoint write regions recombine
+    # (max) to the bit-identical full image
+    out_npz = tmp_path / "outp.npz"
+    _run_cluster(tmp_path, data_npz, out_npz, "2d", "partitioned")
+    parts = [np.load(str(tmp_path / f"outp.{p}.npz")) for p in range(2)]
+    for res in parts:
+        assert np.allclose(res["prob"], polys_ref["prob"])
+        assert np.array_equal(res["points"], polys_ref["points"])
+    combined = np.maximum(parts[0]["labels"], parts[1]["labels"])
+    assert np.array_equal(combined, labels_ref)
+    overlap = (parts[0]["labels"] > 0) & (parts[1]["labels"] > 0)
+    assert not overlap.any()  # write regions are disjoint
+
+
+@pytest.mark.slow
+def test_multiprocess_blocks_3d(tmp_path):
+    img, lbl = synthetic_nuclei_3d((32, 64, 64), seed=1)
+    cfg = Config3D(rays=16, grid=(1, 2, 2), unet_n_depth=1,
+                   unet_n_filter_base=8, net_conv_after_unet=16,
+                   train_patch_size=(16, 32, 32), train_batch_size=1,
+                   train_reduce_lr=None)
+    model = StarDist3D(cfg, name="mh", basedir=str(tmp_path))
+    model.train([img[:16, :32, :32]], [lbl[:16, :32, :32].astype(np.int32)],
+                validation_data=([img[:16, :32, :32]],
+                                 [lbl[:16, :32, :32].astype(np.int32)]),
+                seed=0, epochs=1, steps_per_epoch=4)
+
+    big_img, _ = synthetic_nuclei_3d((32, 128, 96), seed=7)
+    labels_ref, polys_ref = model.predict_instances_big(
+        big_img, axes="ZYX", block_size=(32, 64, 64),
+        min_overlap=(12, 16, 16), context=(4, 12, 12),
+        prob_thresh=0.5, show_progress=False)
+
+    data_npz = tmp_path / "img3.npz"
+    np.savez(str(data_npz), img=big_img)
+    out_npz = tmp_path / "out3.npz"
+    _run_cluster(tmp_path, data_npz, out_npz, "3d", "replicated")
     res = np.load(str(out_npz))
     assert np.array_equal(res["labels"], labels_ref)
     assert np.allclose(res["prob"], polys_ref["prob"])
