@@ -74,15 +74,6 @@ def main():
     print(f"PIP onehot 512k x16: {t(lambda: sync(f1(d, c, q))):8.1f} ms", flush=True)
     print(f"PIP acc    512k x16: {t(lambda: sync(f2(d, c, q))):8.1f} ms", flush=True)
 
-    # erosion lower bound on 512k pairs
-    from stardist_tpu.ops.nms2d_fast import _erosion_lb_area, _inner_radius
-    d2 = jnp.asarray(rng.uniform(4, 10, (P, 32)).astype(np.float32))
-    c2 = c + 3.0
-    rin1 = _inner_radius(d)
-    rin2 = _inner_radius(d2)
-    f3 = jax.jit(_erosion_lb_area)
-    print(f"erosion lb 512k: {t(lambda: sync(f3(d, c, rin1, d2, c2, rin2))):8.1f} ms", flush=True)
-
     # dense band bounds: batched (G=64, Q=256, W=768) sweep x 16 groups
     G, Q, W = 64, 256, 768
     p_r = jnp.asarray(rng.rand(G, Q, 2).astype(np.float32) * 4096)

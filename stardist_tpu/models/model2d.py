@@ -353,6 +353,14 @@ class StarDist2D(StarDistBase):
             res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
         return labels, res_dict
 
+    def _nms_keep(self, prob, dist, points, nms_thresh):
+        """Greedy-NMS keep flags for a descending-prob-sorted candidate
+        list with full-resolution points (used by the threshold optimizer's
+        prefix-NMS trick, utils.optimize_threshold)."""
+        from ..ops.nms import nms_polygons
+        import numpy as np
+        return np.asarray(nms_polygons(dist, points, thresh=float(nms_thresh)))
+
     def _render_survivors(self, img_shape, disti, points, probi,
                           prob_class=None, rescale=(1, 1), return_labels=True):
         """Rasterize NMS survivors + build the result dict — the tail of
@@ -388,7 +396,7 @@ class StarDist2D(StarDistBase):
         with an in-kernel validity flag the (host) caller inspects once per
         image.
 
-        ``nms_statics`` = (axis, Q, NB, AS, OVR, PF, S, use_pallas) as in
+        ``nms_statics`` = (axis, Q, NB, ES, RS, RMAX, S, use_pallas) as in
         ops/nms2d_fast.py ``_nms2d_v2``; ``M`` = survivor slot capacity,
         ``W`` = raster window, ``shape`` = output label shape.
         """
@@ -398,7 +406,7 @@ class StarDist2D(StarDistBase):
         multiclass = self._is_multiclass()
         extract = self._sparse_extract_fn(K, b_key, multiclass)
         grid = tuple(int(g) for g in self.config.grid)
-        (axis, Q, NB, AS, OVR, PF, S, use_pallas) = nms_statics
+        (axis, Q, NB, ES, RS, RMAX, S, use_pallas) = nms_statics
         # top_k requires K <= n output pixels, but the NMS kernels want
         # power-of-two-bucketed shapes (compile-cache hits): pad up on device
         Npad = _bucket(K, minimum=2 * Q)
@@ -431,7 +439,7 @@ class StarDist2D(StarDistBase):
             n_valid = jnp.minimum(n_above, K).astype(jnp.int32)
             keep, nms_flags, stats = _nms2d_v2_traced(
                 d, points, n_valid, nms_thresh, grid,
-                axis, Q, NB, AS, OVR, PF, S, use_pallas)
+                axis, Q, NB, ES, RS, RMAX, S, use_pallas)
             kf = keep & valid
             n_surv = jnp.sum(kf.astype(jnp.int32))
             # compact survivors (already in descending-prob = NMS rank order)
@@ -549,9 +557,9 @@ class StarDist2D(StarDistBase):
         M = caps.get("M", 16384)
         Wwin = caps.get("W", 64)
         NB = caps.get("NB", 1)
-        AS = caps.get("AS", 16)
-        OVR = caps.get("OVR", 1024)
-        PF = caps.get("PF", 1 << 16)
+        ES = caps.get("ES", 1 << 19)
+        RS = caps.get("RS", 16384)
+        RMAX = caps.get("RMAX", 24)
         Q, S, chunk = 128, 16, 256
         use_pallas = jax.default_backend() == "tpu"
         axis = 0 if shape_inst[0] >= shape_inst[1] else 1
@@ -559,17 +567,17 @@ class StarDist2D(StarDistBase):
         pt, nt = jnp.float32(prob_thresh), jnp.float32(nms_thresh)
         for _ in range(16):
             Npad = _bucket(K, minimum=2 * Q)
-            OVR = min(OVR, Npad)
+            RS = min(RS, Npad)
             fn = self._device_instances_fn(
-                K, b_key, (axis, Q, NB, AS, OVR, PF, S, use_pallas),
+                K, b_key, (axis, Q, NB, ES, RS, RMAX, S, use_pallas),
                 M, Wwin, chunk, shape_inst)
             outs = fn(self.params, self._extra_vars, x_dev, pt, nt)
             labels_dev, dM, pM, probM = outs[:4]
             pcM = outs[9] if multiclass else None
             n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:9])
             n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
-            band_ok, over_ok, pf_ok, fits_surv, w_ok = (bool(f) for f in flags)
-            (max_amb, n_over, n_pairs, n_fine, n_iters) = (int(s) for s in stats)
+            band_ok, rounds_ok, fits_surv, w_ok = (bool(f) for f in flags)
+            (max_amb, n_pairs, n_eval, n_rounds, n_iters) = (int(s) for s in stats)
             retried = False
             if n_above > K:
                 if K >= out_size:
@@ -581,21 +589,13 @@ class StarDist2D(StarDistBase):
                     break
                 NB *= 2
                 retried = True
-            if not over_ok:
-                # many overflow rows = dense field: widen the per-row tier;
-                # otherwise grow the overflow-row capacity (same policy as
-                # ops/nms2d_fast.py nms2d_twolayout_host)
-                if n_over > max(1024, Npad // 8) and AS < 64:
-                    AS = min(_bucket(max_amb, minimum=2 * AS), 64)
-                elif OVR < Npad:
-                    OVR = min(_bucket(n_over, minimum=1024), Npad)
-                elif AS < 64:
-                    AS = min(_bucket(max_amb, minimum=2 * AS), 64)
-                else:
+            elif not rounds_ok:
+                # rounds exhausted: evaluate more rows per round (same
+                # policy as ops/nms2d_fast.py nms2d_twolayout_host)
+                if RS >= Npad:
                     break
-                retried = True
-            if not pf_ok:
-                PF = _bucket(n_fine, minimum=1 << 14)
+                RS = min(RS * 4, Npad)
+                ES = min(ES * 2, 1 << 22)
                 retried = True
             if not fits_surv:
                 if n_surv > 2 ** 15 - 1:
@@ -613,17 +613,17 @@ class StarDist2D(StarDistBase):
             # compiles ONE fused variant instead of walking the retry
             # ladder — with the persistent XLA cache that warm variant is a
             # cache hit, not a multi-minute compile)
-            caps.update(K=K, M=M, W=Wwin, NB=NB, AS=AS, OVR=OVR, PF=PF)
+            caps.update(K=K, M=M, W=Wwin, NB=NB, ES=ES, RS=RS, RMAX=RMAX)
             self._save_device_caps(self._device_predict_caps)
             LAST_NMS_COUNTERS.clear()
             LAST_NMS_COUNTERS.update(
                 n_candidates=min(n_above, K), n_peel_survivor=0,
                 n_peel_suppressed=0, n_survivors=n_surv,
-                n_amb_pairs=n_pairs, n_fine_pairs=n_fine, n_iters=n_iters)
+                n_amb_pairs=n_pairs, n_eval_pairs=n_eval, n_rounds=n_rounds)
             if verbose:
                 print(f"device predict: {min(n_above, K)} candidates, "
-                      f"{n_pairs} ambiguous pairs ({n_fine} fine), "
-                      f"{n_surv} survivors", flush=True)
+                      f"{n_pairs} ambiguous pairs ({n_eval} evaluated in "
+                      f"{n_rounds} rounds), {n_surv} survivors", flush=True)
             details = dict(dist=dM[:n_surv], points=pM[:n_surv],
                            prob=probM[:n_surv],
                            nms_counters=dict(LAST_NMS_COUNTERS))

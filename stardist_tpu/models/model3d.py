@@ -357,6 +357,17 @@ class StarDist3D(StarDistBase):
             res_dict["nms_counters"] = dict(LAST_NMS_COUNTERS)
         return labels, res_dict
 
+    def _nms_keep(self, prob, dist, points, nms_thresh):
+        """Greedy-NMS keep flags for a descending-prob-sorted candidate
+        list with full-resolution points (used by the threshold optimizer's
+        prefix-NMS trick, utils.optimize_threshold)."""
+        import numpy as np
+        from ..nms import non_maximum_suppression_3d_inds
+        rays = rays_from_json(self.config.rays_json)
+        return np.asarray(non_maximum_suppression_3d_inds(
+            np.asarray(dist), np.asarray(points), rays=rays,
+            scores=np.asarray(prob), thresh=float(nms_thresh), verbose=0))
+
     def _render_survivors(self, img_shape, disti, points, probi,
                           prob_class=None, rays=None, overlap_label=None,
                           return_labels=True, verbose=False):

@@ -1480,13 +1480,11 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
     """Overlap criterion for a block of row candidates vs column candidates.
 
     Returns bool (B, M): A_inter / min(A_r, A_c) > thresh, with A_inter
-    estimated by the package-wide cascade estimator (see
-    ops/nms2d_fast.py ``_sampled_sup``): a 4x4 midpoint grid over the bbox
-    intersection decides when its fraction is at least CASCADE_MARGIN from
-    the decision boundary, else the full S x S grid decides. Every NMS
-    execution path shares this cascade so their decisions agree exactly.
+    estimated by the package-wide S x S midpoint-grid estimator over the
+    pair's bbox intersection. Every NMS execution path (dense, blocked,
+    onepass, two-layout) shares this criterion so their decisions agree
+    exactly.
     """
-    from .nms2d_fast import CASCADE_MARGIN
     lo_r, hi_r = polygon_bboxes(dist_r, points_r)  # (B,2)
     lo_c, hi_c = polygon_bboxes(dist_c, points_c)  # (M,2)
     area_r = polygon_areas(dist_r)
@@ -1499,10 +1497,8 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
     min_area = jnp.minimum(area_r[:, None], area_c[None])
     fstar = thresh * (min_area + 1e-10) / jnp.maximum(ext_area, 1e-10)
 
-    frac4 = _frac_block_2d(dist_r, points_r, dist_c, points_c, 4, plo, ext)
     frac = _frac_block_2d(dist_r, points_r, dist_c, points_c, S, plo, ext)
-    coarse = jnp.abs(frac4 - fstar) > CASCADE_MARGIN
-    return jnp.where(coarse, frac4 > fstar, frac > fstar)
+    return frac > fstar
 
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,

@@ -1,19 +1,23 @@
-"""Two-layout striped banded NMS for 2D star polygons — global-pair-list
-kernel (round-4 redesign of the round-3 per-block kernel).
+"""Two-layout striped banded NMS for 2D star polygons — survivor-restricted
+global kernel (round-4 redesign).
 
 TPU-native replacement for the reference 2D NMS
 (stardist/lib/stardist2d.cpp:390-615: greedy score-descending suppression,
 overlap criterion ``A_inter / min(A_i, A_j) > thresh``) built for one goal:
-decide the ~10^5-10^6 interacting pairs of a production candidate field in
-tens of milliseconds of device time, in ONE dispatch.
+decide a production candidate field (10^5-10^6 candidates) in tens of
+milliseconds of device time, in ONE dispatch.
 
 Measured design constraints on the tunneled v5e (examples/
-bench_dispatch_floor.py): each host->device dispatch costs ~27-30 ms of
-latency regardless of payload; on-device, sorts/top_k/gathers cost single
-milliseconds at 262k candidates while dense elementwise sweeps are
-essentially free. So the kernel runs everything in one jit, avoids
-per-block loops over thousands of tiny steps (the round-3 kernel's cost),
-and touches each pair-slot buffer O(1) times.
+bench_dispatch_floor.py, /tmp microbenches recorded in BENCH.md): each
+host->device dispatch costs ~27-30 ms of latency regardless of payload;
+on-device, sorts/top_k cost single milliseconds at 262k candidates, dense
+elementwise sweeps are nearly free, but any per-pair *sampled* overlap
+evaluation costs ~40-60 ns/pair on the VPU — so the number of sampled
+evaluations, not the dense bound sweeps, is the budget. The key
+observation (same one the reference's greedy loop exploits with its
+early-exit, stardist2d.cpp:566-575): only pairs whose SUPPRESSOR survives
+matter. Survivors are ~5% of candidates, so restricting exact evaluation
+to tentative survivors cuts the sampled-pair count by ~20x.
 
 Structure (ONE jit dispatch, no host round trips):
 
@@ -27,29 +31,27 @@ Structure (ONE jit dispatch, no host round trips):
    (G, Q, W) elementwise op per step — no per-block dispatches), the
    analytic bound cascade (reference stages 1-2,
    stardist3d_impl.cpp:1209-1330: inscribed/outer-disc lens bounds + bbox
-   intersection) decides most pairs, writing the suppression band and a
-   dense ambiguous-pair mask (Npad, W).
-3. *Two-tier pair slots* (NO compaction sort): rows with at most AS
-   ambiguous pairs keep them in their natural (Npad, AS) layout (extracted
-   by AS iterated-argmax passes over the mask — cheap); rows with more
-   ("overflow rows", capacity OVR) contribute their ENTIRE masked window
-   densely as (OVR, W) slots. Pair stages run on the concatenated slot
-   array with validity masks — slot waste is bounded and costs no sort.
-4. *Exact stages on the slot array* (Pallas pair kernels on TPU,
-   ops/pair_overlap.py — the jnp forms multiply HBM traffic by R):
-   - stage A on every slot: *kernel-lemma lower bound* (exact): for star
-     polygon j with inscribed-disc radius rin_j (about its center), the
-     kernel of j contains B(c_j, rin_j), hence lambda*(j - c_j) + c stays
-     inside j for any |c - c_j| <= (1-lambda)*rin_j. Thus
-     ``polygon(c_i, min(d_i, lambda*d_j))`` is a subset of the pair's
-     intersection with ``lambda = 1 - |c_i-c_j|/rin_j`` — an O(R) per-pair
-     area lower bound that decides the near-duplicate bulk — plus the 4x4
-     coarse grid of the package-wide sampled-overlap cascade;
-   - stage B: cascade-undecided slots are compacted (ONE 1-operand sort of
-     slot indices) into PF slots for the full S x S grid. Verdicts are
-     scattered into the suppression bands at ``r*W + w`` (the flat band
-     index, since n_blocks*Q = Npad).
-5. *Band Jacobi fixpoint*: greedy semantics (a survivor suppresses all
+   intersection) decides most pairs, writing certain suppressions into the
+   band and the undecided pairs into a dense ambiguous mask (Npad, W).
+3. *Survivor-restricted rounds* (lax.while_loop): compute the greedy
+   fixpoint treating unresolved ambiguous pairs as non-suppressing
+   (optimistic); select up to RS unresolved rows that are currently KEPT
+   (their pairs are the only ones that can matter); compact their
+   ambiguous pairs into an exact flat list with ONE small flat sort of the
+   gathered (RS, W) mask (per-row slot extraction — iterated argmax,
+   per-row lane sorts, or a Mosaic extraction kernel — all measured ~2 s
+   at 262k on v5e: per-iteration cross-lane reduce/roll latency dominates;
+   the flat sort of the already-small selection is milliseconds and
+   produces a waste-free pair list); evaluate up to ES pairs exactly with
+   the package-wide S x S sampled-overlap estimator (Pallas pair kernel,
+   ops/pair_overlap.py ``pair_frac``); fold verdicts into the band;
+   re-run the fixpoint; repeat until no kept row is unresolved.
+
+   Correctness: at convergence every pair (i, j) with keep[i] is resolved
+   exactly, and killed candidates suppress nothing under greedy semantics,
+   so ``keep`` satisfies the true greedy recursion; by uniqueness of the
+   triangular fixpoint (induction on rank) it IS the greedy result.
+4. *Band Jacobi fixpoint*: greedy semantics (a survivor suppresses all
    later overlapping candidates; suppressed candidates suppress nothing)
    resolved as the unique fixpoint of the triangular recursion with
    banded matvecs over BOTH layouts per iteration (see ops/nms.py
@@ -119,22 +121,6 @@ def points_in_polygons_acc(dist, points, query):
     return cross_p * cross_c >= 0
 
 
-# ---------------------------------------------------------------------------
-# per-pair exact stages
-# ---------------------------------------------------------------------------
-
-def _erosion_lb_area(d_r, p_r, rin_r, d_c, p_c, rin_c):
-    """Kernel-lemma intersection-area lower bound (exact, see module doc):
-    max over both directions of area(polygon(min(d_i, lambda*d_j))).
-    Inputs are per-pair rows: d_* (P, R), p_* (P, 2), rin_* (P,)."""
-    dc = jnp.sqrt(jnp.sum((p_r - p_c) ** 2, axis=-1))
-    lamA = jnp.clip(1.0 - dc / jnp.maximum(rin_c, 1e-6), 0.0, 1.0)
-    lbA = polygon_areas(jnp.minimum(d_r, lamA[:, None] * d_c))
-    lamB = jnp.clip(1.0 - dc / jnp.maximum(rin_r, 1e-6), 0.0, 1.0)
-    lbB = polygon_areas(jnp.minimum(d_c, lamB[:, None] * d_r))
-    return jnp.maximum(lbA, lbB)
-
-
 def _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S):
     """Fraction of an S x S midpoint grid over the pair's bbox intersection
     that lies inside both polygons, plus the bbox-intersection extents."""
@@ -150,15 +136,6 @@ def _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S):
     in_c = points_in_polygons_acc(d_c, p_c, q)
     frac = jnp.mean(in_r & in_c, axis=-1)
     return frac, ext
-
-
-# Cascade margin: a coarse 4x4-grid overlap fraction within MARGIN of the
-# decision boundary ``f* = thresh * min(A_r, A_c) / bbox_inter_area``
-# defers to the full 16x16 grid. Safety measured on the bench model's real
-# 4096^2 field: 0 / 76k disagreements with the pure 16x16 decision at this
-# margin (51% of ambiguous pairs decided coarse). The cascade is identical
-# in every execution path (jnp and Pallas), so all paths agree exactly.
-CASCADE_MARGIN = 0.25
 
 
 # ---------------------------------------------------------------------------
@@ -191,12 +168,37 @@ def _inner_radius(dist):
 
 
 # ---------------------------------------------------------------------------
-# the fused global-pair-list kernel
+# the fused survivor-restricted kernel
 # ---------------------------------------------------------------------------
+
+def _eval_pairs(F_pad, pr, pw, slot_ok, pad, Q, W, thresh, S, use_pallas, R):
+    """Exact sampled-overlap verdicts for flat pair slots.
+
+    pr (P,) sorted-layout row index (the suppressor), pw (P,) band column
+    offset; returns sup (P,) bool (the package-wide S x S estimator
+    criterion) masked by slot_ok."""
+    pc = (pr // Q) * Q + pw                 # padded column index into F_pad
+
+    def unpack(Fg):
+        return (Fg[:, :R], Fg[:, R:R + 2], Fg[:, R + 2:R + 4],
+                Fg[:, R + 4:R + 6], Fg[:, R + 6])
+
+    d_r, p_r, lo_r, hi_r, a_r = unpack(jnp.take(F_pad, pr + pad, axis=0))
+    d_c, p_c, lo_c, hi_c, a_c = unpack(jnp.take(F_pad, pc, axis=0))
+    plo = jnp.maximum(lo_r, lo_c)
+    ext = jnp.maximum(jnp.minimum(hi_r, hi_c) - plo, 0.0)
+    if use_pallas:
+        from .pair_overlap import pair_frac
+        frac = pair_frac(d_r, p_r, d_c, p_c, plo, ext, S=S, interpret=False)
+    else:
+        frac, _ = _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S)
+    inter = frac * ext[:, 0] * ext[:, 1]
+    return slot_ok & (inter / (jnp.minimum(a_r, a_c) + 1e-10) > thresh)
+
 
 @functools.partial(jax.jit, static_argnums=tuple(range(5, 13)))
 def _nms2d_v2(dist, points, rank, n_real, thresh,
-              axis, Q, NB, AS, OVR, PF, S, use_pallas):
+              axis, Q, NB, ES, RS, RMAX, S, use_pallas):
     """Full 2D greedy NMS in one dispatch (see module doc).
 
     dist (Npad, R) f32 (pad 1e-3), points (Npad, 2) f32 full-res px
@@ -204,20 +206,21 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
     n_real traced count, thresh traced f32.
 
     Static: axis (stripe axis), Q (block rows), NB (band half-width in
-    blocks), AS (per-row ambiguous slots), OVR (overflow-row slots), PF
-    (fine-stage slots), S (estimator grid), use_pallas (TPU pair kernels
-    vs the pure-jnp stage implementations).
+    blocks), ES (pair evaluations per round), RS (rows selected per round),
+    RMAX (round cap), S (estimator grid), use_pallas (TPU kernels vs the
+    pure-jnp stage implementations).
 
     Returns (keep (Npad,) bool in input order,
-             flags = (band_ok, over_ok, pf_ok),
-             stats = (max_amb_row, n_over, n_pairs, n_fine, n_iters)).
+             flags = (band_ok, rounds_ok),
+             stats = (max_amb_row, n_pairs, n_eval, n_rounds, n_iters)).
     `keep` is only meaningful when all flags are True.
     """
-    from .pair_overlap import pair_stage_coarse, pair_stage_fine
     Npad, R = dist.shape
     n_blocks = Npad // Q
     W = (2 * NB + 1) * Q
     pad = NB * Q
+    RS = min(RS, Npad)
+    ES = min(ES, RS * W)
     valid = jnp.arange(Npad) < n_real
     dist = jnp.where(valid[:, None], dist.astype(jnp.float32), 1e-3)
     pts = jnp.where(valid[:, None], points.astype(jnp.float32), 1e9)
@@ -232,7 +235,6 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
     xmax = jnp.max(jnp.where(valid, x, -jnp.inf))
     gap = jnp.maximum(xmax - x0, 0.0) + 2.0 * T + 2.0
     base_idx = jnp.arange(Npad, dtype=jnp.int32)
-    col_iota = jnp.arange(W, dtype=jnp.int32)
 
     # grouped sweep geometry: G row-blocks per fused step, sized so the
     # (G, Q, W) f32 temporaries stay ~25-50 MB regardless of Q/NB
@@ -258,11 +260,9 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
 
     band_ok = jnp.bool_(True)
     max_amb = jnp.int32(0)
-    n_over_t = jnp.int32(0)
     n_pairs_t = jnp.int32(0)
-    n_fine_t = jnp.int32(0)
-    perms = []
-    bands = []
+    L = []          # per-layout invariants
+    bands0 = []     # initial bands (certain suppressions)
     for off in (0.0, 0.5):
         stripe = jnp.floor((y + off * 2.0 * T) / (2.0 * T))
         key = jnp.where(valid, stripe * gap + (x - x0), jnp.inf)
@@ -289,18 +289,18 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
         rout_s = jnp.max(d_s, axis=-1)
         valid_s = jnp.isfinite(key_s)
         # feature matrix: pair gathers later are single row takes
-        # layout: [d(R), py, px, loy, lox, hiy, hix, area, rin]
-        F = jnp.concatenate([d_s, p_s, lo_s, hi_s, area_s[:, None],
-                             rin_s[:, None]], axis=1)          # (Npad, R+8)
+        # layout: [d(R), py, px, loy, lox, hiy, hix, area]
+        F = jnp.concatenate([d_s, p_s, lo_s, hi_s, area_s[:, None]],
+                            axis=1)                         # (Npad, R+7)
         pad_row = jnp.concatenate([
             jnp.full((R,), 1e-3, jnp.float32),
             jnp.full((2,), 1e9, jnp.float32),
             jnp.full((2,), -1e9, jnp.float32),
             jnp.full((2,), -1e9, jnp.float32),
-            jnp.asarray([1.0, 1e-3], jnp.float32)])
+            jnp.asarray([1.0], jnp.float32)])
         F_pad = jnp.concatenate([
-            jnp.broadcast_to(pad_row, (pad, R + 8)), F,
-            jnp.broadcast_to(pad_row, (pad, R + 8))], axis=0)
+            jnp.broadcast_to(pad_row, (pad, R + 7)), F,
+            jnp.broadcast_to(pad_row, (pad, R + 7))], axis=0)
 
         p_pad = padw(p_s, 1e9)
         rout_pad = padw(rout_s, 1e-3)
@@ -313,7 +313,7 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
 
         # ---- grouped bounds sweep: sup band + ambiguous mask -------------
         def sweep(g, carry):
-            band, amb_buf, amb_cnt = carry
+            band, amb_buf = carry
             p_r, p_c = windows(p_pad, g)
             rout_r, rout_c = windows(rout_pad, g)
             rin_r, rin_c = windows(rin_pad, g)
@@ -340,161 +340,24 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
                 band, sup.astype(jnp.bfloat16), (g * G, 0, 0))
             amb_buf = jax.lax.dynamic_update_slice(
                 amb_buf, amb.reshape(G * Q, W), (g * G * Q, 0))
-            amb_cnt = jax.lax.dynamic_update_slice_in_dim(
-                amb_cnt, jnp.sum(amb, axis=2).reshape(G * Q).astype(jnp.int32),
-                g * G * Q, 0)
-            return band, amb_buf, amb_cnt
+            return band, amb_buf
 
         band0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
         amb0 = jnp.zeros((Npad, W), bool)
-        cnt0 = jnp.zeros(Npad, jnp.int32)
-        band, amb_buf, amb_cnt = jax.lax.fori_loop(
-            0, n_groups, sweep, (band0, amb0, cnt0))
-        max_amb = jnp.maximum(max_amb, jnp.max(amb_cnt))
-        n_pairs_t = n_pairs_t + jnp.sum(amb_cnt)
+        band, amb_buf = jax.lax.fori_loop(0, n_groups, sweep, (band0, amb0))
 
-        # ---- tier 2 rows: amb_cnt > AS, handled densely -------------------
-        over = amb_cnt > AS
-        n_over = jnp.sum(over.astype(jnp.int32))
-        n_over_t = jnp.maximum(n_over_t, n_over)
-        okey = jnp.where(over, base_idx, jnp.int32(Npad))
-        okey_s, rows_all = jax.lax.sort((okey, base_idx), dimension=0,
-                                        num_keys=1)
-        ok_o = okey_s[:OVR] < Npad
-        rows_o = jnp.where(ok_o, rows_all[:OVR], 0)
-        amb_o = jnp.take(amb_buf, rows_o, axis=0) & ok_o[:, None]
+        cnt = jnp.sum(amb_buf.astype(jnp.int32), axis=1)
+        max_amb = jnp.maximum(max_amb, jnp.max(cnt))
+        n_pairs_t = n_pairs_t + jnp.sum(cnt)
 
-        # ---- tier 1: up to AS ambiguous columns per non-overflow row
-        # (iterated argmax over the masked buffer)
-        def extract(k, carry):
-            buf, cols, ok = carry
-            idx = jnp.argmax(buf, axis=1).astype(jnp.int32)   # first set col
-            has = jnp.any(buf, axis=1)    # idx points at a set bit iff any
-            cols = jax.lax.dynamic_update_slice_in_dim(
-                cols, idx[:, None], k, 1)
-            ok = jax.lax.dynamic_update_slice_in_dim(
-                ok, has[:, None], k, 1)
-            buf = buf & (col_iota[None, :] != idx[:, None])
-            return buf, cols, ok
-
-        cols0 = jnp.zeros((Npad, AS), jnp.int32)
-        ok0 = jnp.zeros((Npad, AS), bool)
-        _, cols_a, ok_a = jax.lax.fori_loop(
-            0, AS, extract, (amb_buf & ~over[:, None], cols0, ok0))
-
-        # ---- unified slot arrays (no compaction: tier-1 slots stay in
-        # their (Npad, AS) layout, tier-2 in (OVR, W)) ----------------------
-        pr = jnp.concatenate([
-            jnp.broadcast_to(base_idx[:, None], (Npad, AS)).reshape(-1),
-            jnp.broadcast_to(rows_o[:, None], (OVR, W)).reshape(-1)])
-        pw = jnp.concatenate([
-            cols_a.reshape(-1),
-            jnp.broadcast_to(col_iota[None, :], (OVR, W)).reshape(-1)])
-        ok_p = jnp.concatenate([ok_a.reshape(-1), amb_o.reshape(-1)])
-
-        def unpack(Fg):
-            return (Fg[:, :R], Fg[:, R:R + 2], Fg[:, R + 2:R + 4],
-                    Fg[:, R + 4:R + 6], Fg[:, R + 6], Fg[:, R + 7])
-
-        # ---- stage A (cheap, all slots): 4x4 grid + erosion lower bound.
-        # CHUNKED: the slot count scales with Npad*AS + OVR*W (millions on
-        # dense fields) and each slot gathers two (R+8)-float feature rows —
-        # materializing them all at once multiplies HBM by ~300 bytes/slot
-        # (measured 23 GB demand on a 65k clustered field at AS=64). A
-        # fori_loop over fixed-size chunks bounds peak memory at
-        # O(CH * features) while keeping total work identical.
-        n_slots = Npad * AS + OVR * W
-        CH = 1 << 10
-        while CH < min(1 << 18, n_slots):
-            CH *= 2
-        n_slots_p = -(-n_slots // CH) * CH
-        pr = jnp.pad(pr, (0, n_slots_p - n_slots))
-        pw = jnp.pad(pw, (0, n_slots_p - n_slots))
-        ok_p = jnp.pad(ok_p, (0, n_slots_p - n_slots))
-        band_flat = band.reshape(Npad * W)
-        OOB = jnp.int32(Npad * W)           # scatter index meaning "drop"
-
-        def stageA(ci, carry):
-            band_flat, fine_mask = carry
-            sl = ci * CH
-            pr_c = jax.lax.dynamic_slice(pr, (sl,), (CH,))
-            pw_c = jax.lax.dynamic_slice(pw, (sl,), (CH,))
-            ok_c = jax.lax.dynamic_slice(ok_p, (sl,), (CH,))
-            code_c = pr_c * W + pw_c        # flat band index of each slot
-            pc_c = (pr_c // Q) * Q + pw_c   # padded column row index
-            d_rp, p_rp, lo_rp, hi_rp, a_rp, rin_rp = unpack(
-                jnp.take(F_pad, pr_c + pad, axis=0))
-            d_cp, p_cp, lo_cp, hi_cp, a_cp, rin_cp = unpack(
-                jnp.take(F_pad, pc_c, axis=0))
-            plo_p = jnp.maximum(lo_rp, lo_cp)
-            ext_p = jnp.maximum(jnp.minimum(hi_rp, hi_cp) - plo_p, 0.0)
-            min_a = jnp.minimum(a_rp, a_cp)
-            ext_area = ext_p[:, 0] * ext_p[:, 1]
-            fstar = thresh * (min_a + 1e-10) / jnp.maximum(ext_area, 1e-10)
-            if use_pallas:
-                frac4, lb0_area = pair_stage_coarse(
-                    d_rp, p_rp, d_cp, p_cp, plo_p, ext_p, rin_rp, rin_cp,
-                    interpret=False)
-            else:
-                lb0_area = _erosion_lb_area(d_rp, p_rp, rin_rp,
-                                            d_cp, p_cp, rin_cp)
-                frac4, _ = _pair_frac(d_rp, p_rp, lo_rp, hi_rp,
-                                      d_cp, p_cp, lo_cp, hi_cp, 4)
-            sup0 = ok_c & (lb0_area / (min_a + 1e-10) > thresh)
-            coarse_sup = frac4 - fstar > CASCADE_MARGIN
-            coarse_no = fstar - frac4 > CASCADE_MARGIN
-            sup_pair = (sup0 | coarse_sup) & ok_c
-            fine_todo = ok_c & ~coarse_sup & ~coarse_no & ~sup0
-            band_flat = band_flat.at[jnp.where(sup_pair, code_c, OOB)].max(
-                jnp.bfloat16(1.0), mode="drop")
-            fine_mask = jax.lax.dynamic_update_slice(fine_mask, fine_todo,
-                                                     (sl,))
-            return band_flat, fine_mask
-
-        band_flat, fine_mask = jax.lax.fori_loop(
-            0, n_slots_p // CH, stageA,
-            (band_flat, jnp.zeros(n_slots_p, bool)))
-
-        # ---- stage B: full S x S on the cascade's undecided (ONE global
-        # compaction sort of slot indices, then a single bounded pass) ------
-        slot_pos = jnp.arange(n_slots_p, dtype=jnp.int32)
-        fkey = jnp.where(fine_mask, slot_pos, jnp.int32(n_slots_p))
-        fkey_s = jax.lax.sort(fkey, dimension=0)
-        ok_f = fkey_s[:PF] < n_slots_p
-        sel_slot = jnp.where(ok_f, fkey_s[:PF], 0)
-        n_fine = jnp.sum(fine_mask.astype(jnp.int32))
-        n_fine_t = jnp.maximum(n_fine_t, n_fine)
-        pr_f = jnp.take(pr, sel_slot)
-        pc_f = (pr_f // Q) * Q + jnp.take(pw, sel_slot)
-        code_f = pr_f * W + jnp.take(pw, sel_slot)
-        d_r2, p_r2, lo_r2, hi_r2, a_r2, _ = unpack(
-            jnp.take(F_pad, pr_f + pad, axis=0))
-        d_c2, p_c2, lo_c2, hi_c2, a_c2, _ = unpack(
-            jnp.take(F_pad, pc_f, axis=0))
-        plo_f = jnp.maximum(lo_r2, lo_c2)
-        ext_f = jnp.maximum(jnp.minimum(hi_r2, hi_c2) - plo_f, 0.0)
-        if use_pallas:
-            frac_f = pair_stage_fine(d_r2, p_r2, d_c2, p_c2, plo_f, ext_f,
-                                     S=S, interpret=False)
-        else:
-            frac_f, _ = _pair_frac(d_r2, p_r2, lo_r2, hi_r2,
-                                   d_c2, p_c2, lo_c2, hi_c2, S)
-        inter_f = frac_f * ext_f[:, 0] * ext_f[:, 1]
-        supB = ok_f & (inter_f / (jnp.minimum(a_r2, a_c2) + 1e-10) > thresh)
-
-        # ---- fold the fine verdicts into the band -------------------------
-        band_flat = band_flat.at[jnp.where(supB, code_f, OOB)].max(
-            jnp.bfloat16(1.0), mode="drop")
-        bands.append(band_flat.reshape(n_blocks, Q, W))
-        perms.append(perm)
+        inv = jnp.zeros(Npad, jnp.int32).at[perm].set(base_idx)
+        L.append(dict(perm=perm, inv=inv, F_pad=F_pad, cnt=cnt,
+                      amb_buf=amb_buf, valid_s=valid_s, rank_s=rank_s))
+        bands0.append(band.reshape(Npad * W))
 
     # ---- two-layout band Jacobi fixpoint (greedy recursion, base order) ----
-    inv_perms = []
-    for perm in perms:
-        inv = jnp.zeros(Npad, jnp.int32).at[perm].set(base_idx)
-        inv_perms.append(inv)
-
-    def band_killed(keep_sorted, band):
+    def band_killed(keep_sorted, band_flat):
+        band = band_flat.reshape(n_blocks, Q, W)
         contrib = jnp.einsum(
             "bq,bqw->bw", keep_sorted.reshape(n_blocks, Q).astype(jnp.bfloat16),
             band, preferred_element_type=jnp.float32)
@@ -505,30 +368,110 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             killed_pad = killed_pad + jnp.pad(piece, (o * Q, (2 * NB - o) * Q))
         return killed_pad[pad:pad + Npad] > 0.5
 
-    def cond(c):
-        t, keep, changed = c
-        return changed & (t < Npad)
+    def fixpoint(bands, keep_init):
+        def cond(c):
+            t, keep, changed = c
+            return changed & (t < Npad)
 
-    def body(c):
-        t, keep, _ = c
-        killed = jnp.zeros(Npad, bool)
-        for perm, band, inv in zip(perms, bands, inv_perms):
-            kL = band_killed(jnp.take(keep, perm), band)
-            killed = killed | jnp.take(kL, inv)
-        new = valid & ~killed
-        return t + 1, new, jnp.any(new != keep)
+        def body(c):
+            t, keep, _ = c
+            killed = jnp.zeros(Npad, bool)
+            for lay, band_flat in zip(L, bands):
+                kL = band_killed(jnp.take(keep, lay["perm"]), band_flat)
+                killed = killed | jnp.take(kL, lay["inv"])
+            new = valid & ~killed
+            return t + 1, new, jnp.any(new != keep)
 
-    n_it, keep, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+        n_it, keep, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), keep_init, jnp.bool_(True)))
+        return keep, n_it
 
-    flags = (band_ok, n_over_t <= OVR, n_fine_t <= PF)
-    stats = (max_amb, n_over_t, n_pairs_t, n_fine_t, n_it)
+    OOB = jnp.int32(Npad * W)               # scatter index meaning "drop"
+    row_iota = base_idx
+    FLAT = RS * W                           # per-round flat slot domain
+
+    def needed_mask(keep, lay, resolved):
+        keep_s = jnp.take(keep, lay["perm"])
+        return keep_s & ~resolved & (lay["cnt"] > 0) & lay["valid_s"]
+
+    def round_body(c):
+        t, keep, more, n_eval, n_it_t, bands, resolveds = c
+        new_bands = []
+        new_res = []
+        for lay, band_flat, resolved in zip(L, bands, resolveds):
+            needed = needed_mask(keep, lay, resolved)
+            # select up to RS needed rows BY RANK: resolving the
+            # highest-ranked tentative survivors first is what makes the
+            # restriction effective — their verdicts kill the bulk of the
+            # lower-ranked tentative keeps before those ever source an
+            # evaluation (the reference greedy's early-exit, sequentialized
+            # per round instead of per candidate)
+            rkey = jnp.where(needed, lay["rank_s"], jnp.int32(2 ** 30))
+            rkey_s, rows_all = jax.lax.sort((rkey, row_iota), dimension=0,
+                                            num_keys=1)
+            ok_r = rkey_s[:RS] < jnp.int32(2 ** 30)
+            rows = jnp.where(ok_r, rows_all[:RS], 0)          # (RS,)
+            # flat-sort compaction of the selected rows' ambiguous pairs:
+            # NO per-row slot padding — the pair list is exactly the set
+            # bits, row-major, capped at ES with a complete-rows guarantee
+            amb_rows = jnp.take(lay["amb_buf"], rows, axis=0) & ok_r[:, None]
+            flat_iota = jnp.arange(FLAT, dtype=jnp.int32)
+            fkey = jnp.where(amb_rows.reshape(FLAT), flat_iota,
+                             jnp.int32(FLAT))
+            fkey_s = jax.lax.sort(fkey, dimension=0)
+            sel = fkey_s[:ES]                                 # (ES,)
+            ok_e = sel < FLAT
+            sel_c = jnp.where(ok_e, sel, 0)
+            pr = jnp.take(rows, sel_c // W)                   # suppressor row
+            pw = sel_c % W                                    # band column
+            sup = _eval_pairs(lay["F_pad"], pr, pw, ok_e,
+                              pad, Q, W, thresh, S, use_pallas, R)
+            band_flat = band_flat.at[
+                jnp.where(sup, pr * W + pw, OOB)].max(
+                jnp.bfloat16(1.0), mode="drop", unique_indices=True)
+
+            # a selected row is resolved iff ALL its pairs made the ES cut:
+            # its last flat slot index must be <= the largest included key
+            cutoff = jnp.where(jnp.sum(ok_e.astype(jnp.int32)) < ES,
+                               jnp.int32(FLAT), fkey_s[ES - 1])
+            last_flat = jnp.max(
+                jnp.where(amb_rows, flat_iota.reshape(RS, W), -1), axis=1)
+            row_done = ok_r & (last_flat <= cutoff)
+            resolved = resolved.at[rows].max(row_done)
+            n_eval = n_eval + jnp.sum(ok_e.astype(jnp.int32))
+            new_bands.append(band_flat)
+            new_res.append(resolved)
+
+        keep, n_it = fixpoint(new_bands, valid)
+        more = jnp.bool_(False)
+        for lay, resolved in zip(L, new_res):
+            more = more | jnp.any(needed_mask(keep, lay, resolved))
+        return (t + 1, keep, more, n_eval, n_it_t + n_it,
+                tuple(new_bands), tuple(new_res))
+
+    def round_cond(c):
+        t, keep, more = c[0], c[1], c[2]
+        return more & (t < RMAX)
+
+    keep0, n_it0 = fixpoint(bands0, valid)
+    more0 = jnp.bool_(False)
+    res0 = tuple(jnp.zeros(Npad, bool) for _ in L)
+    for lay, resolved in zip(L, res0):
+        more0 = more0 | jnp.any(needed_mask(keep0, lay, resolved))
+
+    t, keep, more, n_eval, n_it_t, bands, resolveds = jax.lax.while_loop(
+        round_cond, round_body,
+        (jnp.int32(0), keep0, more0, jnp.int32(0), n_it0,
+         tuple(bands0), res0))
+
+    flags = (band_ok, ~more)
+    stats = (max_amb, n_pairs_t, n_eval, t, n_it_t)
     return keep, flags, stats
 
 
 @functools.partial(jax.jit, static_argnums=tuple(range(4, 13)))
 def _nms2d_v2_traced(dist, points, n_real, thresh, grid,
-                     axis, Q, NB, AS, OVR, PF, S=16, use_pallas=True):
+                     axis, Q, NB, ES, RS, RMAX, S=16, use_pallas=True):
     """`_nms2d_v2` with the device-predict calling convention: consumes the
     sparse-extraction outputs directly (grid-unit integer points, traced
     candidate count), so the NMS dispatch needs NO host-side inspection of
@@ -541,7 +484,7 @@ def _nms2d_v2_traced(dist, points, n_real, thresh, grid,
     rank = jnp.where(valid, jnp.arange(Npad, dtype=jnp.int32),
                      jnp.int32(2 ** 30))
     return _nms2d_v2(jnp.maximum(dist.astype(jnp.float32), 1e-3), pts, rank,
-                     n_real, thresh, axis, Q, NB, AS, OVR, PF, S, use_pallas)
+                     n_real, thresh, axis, Q, NB, ES, RS, RMAX, S, use_pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -572,7 +515,7 @@ def _pad_jnp(x, n, value):
 # last-working static capacities, persisted across calls (and to disk via
 # the model layer's device-caps persistence) so the warm path is one
 # dispatch, zero retries
-_CAPS = {"NB": 1, "AS": 16, "OVR": 1024, "PF": 1 << 16}
+_CAPS = {"NB": 1, "ES": 1 << 19, "RS": 16384, "RMAX": 24}
 
 
 def nms2d_twolayout_host(dist, points, thresh, Q=128, S=16, verbose=False,
@@ -587,9 +530,9 @@ def nms2d_twolayout_host(dist, points, thresh, Q=128, S=16, verbose=False,
     Npad = _bucket(N, minimum=2 * Q)
     caps = _CAPS if caps is None else caps
     NB = caps.get("NB", 1)
-    AS = caps.get("AS", 16)
-    OVR = min(caps.get("OVR", 1024), Npad)
-    PF = caps.get("PF", 1 << 16)
+    ES = caps.get("ES", 1 << 19)
+    RS = min(caps.get("RS", 16384), Npad)
+    RMAX = caps.get("RMAX", 24)
     use_pallas = jax.default_backend() == "tpu"
     dist_p = jnp.asarray(_pad_np(np.asarray(dist, np.float32), Npad, 1e-3)) \
         if isinstance(dist, np.ndarray) else _pad_jnp(dist, Npad, 1e-3)
@@ -601,35 +544,27 @@ def nms2d_twolayout_host(dist, points, thresh, Q=128, S=16, verbose=False,
             return None
         keep, flags, stats = jax.device_get(_nms2d_v2(
             dist_p, points_p, rank_p, jnp.int32(N), jnp.float32(thresh),
-            axis, Q, NB, AS, OVR, PF, S, use_pallas))
-        b_ok, o_ok, pf_ok = (bool(f) for f in flags)
-        m_amb, n_over, n_pairs, n_fine, n_it = (int(s) for s in stats)
-        if b_ok and o_ok and pf_ok:
-            caps.update(NB=NB, AS=AS, OVR=OVR, PF=PF)
+            axis, Q, NB, ES, RS, RMAX, S, use_pallas))
+        b_ok, r_ok = (bool(f) for f in flags)
+        m_amb, n_pairs, n_eval, n_rounds, n_iters = (int(s) for s in stats)
+        if b_ok and r_ok:
+            caps.update(NB=NB, ES=ES, RS=RS, RMAX=RMAX)
             if verbose:
-                print(f"NMS(v2): N={N} amb<={m_amb} over={n_over} "
-                      f"pairs={n_pairs} fine={n_fine} iters={n_it}",
+                print(f"NMS(v2): N={N} amb<={m_amb} pairs={n_pairs} "
+                      f"eval={n_eval} rounds={n_rounds} iters={n_iters}",
                       flush=True)
             return np.asarray(keep)[:N]
         if verbose:
-            print(f"NMS(v2): retry (band={b_ok} over={n_over}/{OVR} "
-                  f"fine={n_fine}/{PF} amb={m_amb} AS={AS})", flush=True)
+            print(f"NMS(v2): retry (band={b_ok} rounds={r_ok} "
+                  f"rounds_used={n_rounds} amb={m_amb})", flush=True)
         if not b_ok:
             if NB >= 8:
                 return None
             NB *= 2
-        if not o_ok:
-            # many overflow rows = the field is dense everywhere: widen the
-            # cheap per-row tier instead of the dense overflow windows (whose
-            # slot count scales with OVR*W)
-            if n_over > max(1024, Npad // 8) and AS < 64:
-                AS = min(_bucket(m_amb, minimum=2 * AS), 64)
-            else:
-                OVR = min(_bucket(n_over, minimum=1024), Npad)
-                if n_over > OVR:     # still over at the Npad clamp
-                    if AS >= 64:
-                        return None
-                    AS = min(_bucket(m_amb, minimum=2 * AS), 64)
-        if not pf_ok:
-            PF = _bucket(n_fine, minimum=1 << 14)
+        elif not r_ok:
+            # rounds exhausted: evaluate more rows/pairs per round
+            if RS >= Npad:
+                return None
+            RS = min(RS * 4, Npad)
+            ES = min(ES * 2, 1 << 22)
     return None

@@ -1,27 +1,21 @@
-"""Pallas TPU kernel: exact sampled-overlap stages for polygon pairs.
+"""Pallas TPU kernels for the 2D NMS pair machinery.
 
-The NMS exact stage evaluates, for a flat list of candidate pairs, the
-fraction of an S x S midpoint grid over the pair's bbox intersection that
-lies inside both star polygons (the package-wide overlap estimator — see
-ops/nms.py and the reference criterion `A_inter / min(A_i, A_j) > thresh`,
-stardist/lib/stardist2d.cpp:579-585), plus the kernel-lemma intersection
-lower bound (ops/nms2d_fast.py `_erosion_lb_area`).
+One kernel, ``pair_frac`` — the exact sampled-overlap estimator for a flat
+list of candidate pairs: the fraction of an S x S midpoint grid over the
+pair's bbox intersection that lies inside both star polygons (the
+package-wide overlap estimator — see ops/nms.py ``_overlap_block_2d`` and
+the reference criterion ``A_inter / min(A_i, A_j) > thresh``,
+stardist/lib/stardist2d.cpp:579-585).
 
-The pure-jnp form (`points_in_polygons_acc`, ops/nms2d_fast.py) selects each
-sample's wedge by an R-step mask-accumulate loop; under XLA every step is a
-separate HBM-bound fusion over the full (P, S*S) sample tensor, so the HBM
-traffic is multiplied by R (~300 ms of a 65k-candidate NMS at R=32 measured
-on v5e). This kernel keeps a tile of pairs VMEM-resident across the R loop:
-traffic is O(P*S*S) once, the select loop runs on the VPU at register/VMEM
-speed.
+The pure-jnp form (``points_in_polygons_acc``, ops/nms2d_fast.py) selects
+each sample's wedge by an R-step mask-accumulate loop; under XLA every
+step is a separate HBM-bound fusion over the full (P, S*S) sample tensor,
+so the HBM traffic is multiplied by R (~300 ms of a 65k-candidate NMS at
+R=32 measured on v5e). This kernel keeps a tile of pairs VMEM-resident
+across the R loop: traffic is O(P*S*S) once, the select loop runs on the
+VPU at register/VMEM speed.
 
-Two entry points sharing one kernel body:
-- `pair_stage_coarse`: 4x4 grid fraction + erosion lower-bound area — the
-  cheap cascade stage, run on every extracted pair slot;
-- `pair_stage_fine`: S x S (default 16x16) grid fraction — run on the
-  compacted cascade-undecided pairs only.
-
-The sample-grid formulas replicate `points_in_polygons_acc` except for the
+The sample-grid formulas replicate ``points_in_polygons_acc`` except the
 wedge selection: Mosaic has no atan2 lowering, so the kernel selects each
 sample's angular wedge by cross-product signs against the boundary rays
 (an exact partition of the plane — each cross value is bound once in the
@@ -32,9 +26,7 @@ wedge relative to the jnp atan2 rule; grid midpoints
 every TPU execution path uses this kernel, so decisions are identical
 within a platform (a cross-PLATFORM bitwise guarantee is neither needed
 nor asserted anywhere). Sums of 0/1 floats are exact in f32, so the
-fraction is order-independent. The erosion bound's dot-product sum order
-differs from XLA's reduce (float reassociation) — it is a true geometric
-lower bound either way, so decisions stay correct.
+fraction is order-independent.
 """
 from __future__ import annotations
 
@@ -87,14 +79,13 @@ def _inside_body(d, p_r, p_c, qr, qc, trig, R):
     return cross_p * cross_c >= 0
 
 
-def _pair_kernel(f_ref, out_ref, *, R, S, TP, coarse):
-    """One tile of TP pairs: read the packed feature block, emit the stage
-    outputs.
+def _pair_kernel(f_ref, out_ref, *, R, S, TP):
+    """One tile of TP pairs: read the packed feature block, emit the S x S
+    overlap fraction.
 
     f_ref: (TP, F) packed features
-           [d_r(R), d_c(R), p_r(2), p_c(2), plo(2), ext(2), rin_r, rin_c,
-            pad...].
-    out_ref: (TP, 2) f32 — coarse: (frac_4, lb_area); fine: (frac_S, 0).
+           [d_r(R), d_c(R), p_r(2), p_c(2), plo(2), ext(2), pad...].
+    out_ref: (TP, 1) f32 frac_S.
     """
     F = f_ref[:, :]
     d_r = F[:, :R]
@@ -115,65 +106,41 @@ def _pair_kernel(f_ref, out_ref, *, R, S, TP, coarse):
             np.sin(angles + dphi).astype(np.float32),
             np.cos(angles + dphi).astype(np.float32))
 
-    def frac(s):
-        # (s*s) midpoint grid over the bbox intersection, same construction
-        # as _pair_frac (ops/nms2d_fast.py): row-major (r-major) order.
-        # Built from iota (Pallas kernels cannot capture host constants);
-        # (i + 0.5)/s is bitwise equal to numpy's (arange + 0.5)/s.
-        idx = jax.lax.broadcasted_iota(jnp.int32, (TP, s * s), 1)
-        gr = ((idx // s).astype(jnp.float32) + 0.5) / float(s)
-        gc = ((idx % s).astype(jnp.float32) + 0.5) / float(s)
-        qr = plo_r + gr * ext_r                   # (TP, s*s)
-        qc = plo_c + gc * ext_c
-        in_r = _inside_body(d_r, pr_r, pr_c, qr, qc, trig, R)
-        in_c = _inside_body(d_c, pc_r, pc_c, qr, qc, trig, R)
-        both = jnp.logical_and(in_r, in_c).astype(jnp.float32)
-        return jnp.sum(both, axis=1, keepdims=True) / float(s * s)
-
-    if coarse:
-        rin_r = F[:, 2 * R + 8:2 * R + 9]
-        rin_c = F[:, 2 * R + 9:2 * R + 10]
-        # kernel-lemma intersection-area lower bound (_erosion_lb_area)
-        dcen = jnp.sqrt((pr_r - pc_r) ** 2 + (pr_c - pc_c) ** 2)
-        sin_dphi = float(np.sin(dphi))
-
-        def area_min(da, lam, db):
-            dm = jnp.minimum(da, lam * db)        # (TP, R)
-            prod = dm * jnp.roll(dm, -1, axis=1)
-            return 0.5 * sin_dphi * jnp.sum(prod, axis=1, keepdims=True)
-
-        lamA = jnp.clip(1.0 - dcen / jnp.maximum(rin_c, 1e-6), 0.0, 1.0)
-        lamB = jnp.clip(1.0 - dcen / jnp.maximum(rin_r, 1e-6), 0.0, 1.0)
-        lb = jnp.maximum(area_min(d_r, lamA, d_c), area_min(d_c, lamB, d_r))
-        out_ref[:, 0:1] = frac(4)
-        out_ref[:, 1:2] = lb
-    else:
-        out_ref[:, 0:1] = frac(S)
-        out_ref[:, 1:2] = jnp.zeros((TP, 1), jnp.float32)
+    # (S*S) midpoint grid over the bbox intersection, same construction as
+    # _pair_frac (ops/nms2d_fast.py): row-major (r-major) order. Built from
+    # iota (Pallas kernels cannot capture host constants); (i + 0.5)/S is
+    # bitwise equal to numpy's (arange + 0.5)/S.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (TP, S * S), 1)
+    gr = ((idx // S).astype(jnp.float32) + 0.5) / float(S)
+    gc = ((idx % S).astype(jnp.float32) + 0.5) / float(S)
+    qr = plo_r + gr * ext_r                   # (TP, S*S)
+    qc = plo_c + gc * ext_c
+    in_r = _inside_body(d_r, pr_r, pr_c, qr, qc, trig, R)
+    in_c = _inside_body(d_c, pc_r, pc_c, qr, qc, trig, R)
+    both = jnp.logical_and(in_r, in_c).astype(jnp.float32)
+    out_ref[:, 0:1] = jnp.sum(both, axis=1, keepdims=True) / float(S * S)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _pair_call(feat, R, S, TP, coarse, interpret):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _pair_call(feat, R, S, TP, interpret):
     P = feat.shape[0]
-    kern = functools.partial(_pair_kernel, R=R, S=S, TP=TP, coarse=coarse)
+    kern = functools.partial(_pair_kernel, R=R, S=S, TP=TP)
     Fw = feat.shape[1]
-    ns = 16 if coarse else S * S
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((P, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
         grid=(P // TP,),
         in_specs=[pl.BlockSpec((TP, Fw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TP, 2), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TP, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=P * 2 * ns * (R * 8 + 30),
-            bytes_accessed=P * (Fw * 4 + 8),
-            transcendentals=P * ns * 2,
+            flops=P * 2 * S * S * (R * 8 + 30),
+            bytes_accessed=P * (Fw * 4 + 4),
+            transcendentals=0,
         ),
-        # the unrolled R-loop's (TP, NS) temporaries live on the Mosaic
-        # stack (~50-60 KB per pair row at R=32); the default 16 MB scoped
-        # limit caps TP at ~256 — raise it for headroom at the chosen tiles
+        # the streamed R-loop's (TP, NS) temporaries live on the Mosaic
+        # stack; raise the default 16 MB scoped limit for headroom
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -191,26 +158,11 @@ def _pack(parts, TP):
     return feat, P
 
 
-def pair_stage_coarse(d_r, p_r, d_c, p_c, plo, ext, rin_r, rin_c,
-                      TP=512, interpret=None):
-    """Cheap cascade stage for every pair slot: returns
-    (frac_4 (P,), lb_area (P,)) — the 4x4-grid overlap fraction and the
-    erosion (kernel-lemma) intersection-area lower bound."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    R = d_r.shape[-1]
-    feat, P = _pack([d_r, d_c, p_r, p_c, plo, ext,
-                     rin_r[:, None], rin_c[:, None]], TP)
-    out = _pair_call(feat, R, 16, TP, True, bool(interpret))
-    return out[:P, 0], out[:P, 1]
-
-
-def pair_stage_fine(d_r, p_r, d_c, p_c, plo, ext, S=16, TP=128,
-                    interpret=None):
-    """Fine cascade stage: the S x S grid overlap fraction (P,)."""
+def pair_frac(d_r, p_r, d_c, p_c, plo, ext, S=16, TP=256, interpret=None):
+    """S x S midpoint-grid overlap fraction for a flat pair list (P,)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R = d_r.shape[-1]
     feat, P = _pack([d_r, d_c, p_r, p_c, plo, ext], TP)
-    out = _pair_call(feat, R, S, TP, False, bool(interpret))
+    out = _pair_call(feat, R, S, TP, bool(interpret))
     return out[:P, 0]

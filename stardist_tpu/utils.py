@@ -292,17 +292,28 @@ def optimize_threshold(Y, Yhat, model, nms_thresh, measure="accuracy",
         pre.append((probi[order], disti[order],
                     (points[order] * grid).astype(np.float32)))
 
+    # ONE NMS per image for the whole search: greedy NMS has an exact
+    # prefix property — a candidate's keep/suppress decision depends only
+    # on higher-ranked candidates (all inside any prefix containing it),
+    # so NMS on the bracket-low candidate list yields, restricted to the
+    # first n entries, exactly the NMS result of prob_thresh'es whose
+    # prefix length is n. Each golden-section probe then only rasterizes
+    # its prefix survivors + runs matching (the reference re-runs the
+    # whole NMS per probe, stardist/utils.py:288).
+    keeps = [model._nms_keep(probi, disti, pointsi, nms_thresh)
+             for probi, disti, pointsi in pre]
+
     def fn(thr):
         prob_thresh = float(np.clip(thr, *bracket))
         value = values.get(prob_thresh)
         if value is None:
             Y_instances = []
-            for y, (probi, disti, pointsi) in zip(Y, pre):
+            for y, (probi, disti, pointsi), keep in zip(Y, pre, keeps):
                 # count of probi > prob_thresh (strict, like _ind_prob_thresh)
                 n = int(np.searchsorted(-probi, -prob_thresh, side="left"))
-                labels, _ = model._instances_from_prediction(
-                    y.shape, probi[:n], disti[:n], points=pointsi[:n],
-                    nms_thresh=nms_thresh)
+                sel = keep[:n]
+                labels, _ = model._render_survivors(
+                    y.shape, disti[:n][sel], pointsi[:n][sel], probi[:n][sel])
                 Y_instances.append(labels)
             stats = matching_dataset(Y, Y_instances, thresh=iou_threshs, show_progress=False, parallel=True)
             values[prob_thresh] = value = float(np.mean([s._asdict()[measure] for s in stats]))

@@ -163,9 +163,23 @@ def test_optimize_thresholds(tmp_path):
     model = StarDist2D(cfg, name="opt", basedir=str(tmp_path))
     model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]), seed=0,
                 epochs=2, steps_per_epoch=8)
+    import time as _time
+    _t0 = _time.perf_counter()
     res = model.optimize_thresholds(imgs[:1], lbls[:1], nms_threshs=[0.3, 0.5],
                                     optimize_kwargs=dict(maxiter=8, verbose=0))
+    _cold = _time.perf_counter() - _t0
     assert 0 < res["prob"] < 1 and res["nms"] in (0.3, 0.5)
+    # wall-time budget (VERDICT r3 item 8): the prefix-NMS trick runs ONE
+    # NMS per image per nms_thresh; per-probe work is rasterize+matching
+    # only. The cold call pays one-time jit compiles; the warm call is the
+    # steady-state cost — regressions that reintroduce per-probe NMS or
+    # per-probe compiles bust these budgets.
+    _t0 = _time.perf_counter()
+    model.optimize_thresholds(imgs[:1], lbls[:1], nms_threshs=[0.3, 0.5],
+                              optimize_kwargs=dict(maxiter=8, verbose=0))
+    _warm = _time.perf_counter() - _t0
+    assert _cold < 30.0, f"cold optimize_thresholds took {_cold:.1f}s (budget 30s)"
+    assert _warm < 12.0, f"warm optimize_thresholds took {_warm:.1f}s (budget 12s)"
     saved = json.loads((model.logdir / "thresholds.json").read_text())
     assert abs(saved["prob"] - res["prob"]) < 1e-9
     # thresholds are picked up on reload

@@ -8,7 +8,6 @@ from stardist_tpu.ops.nms import nms_polygons
 from stardist_tpu.ops.nms2d_fast import (
     nms2d_twolayout_host,
     points_in_polygons_acc,
-    _erosion_lb_area,
 )
 from stardist_tpu.ops.polygon import points_in_polygons, polygon_areas
 
@@ -40,32 +39,31 @@ def test_pip_acc_matches_onehot():
     assert (a == b).all()
 
 
-def test_erosion_lb_is_true_lower_bound():
-    """The kernel-lemma bound must never exceed the true intersection area
-    (checked against a fine-grid rasterized intersection)."""
-    rng = np.random.RandomState(1)
-    n = 128
-    d_r = rng.uniform(4, 10, (n, 32)).astype(np.float32)
-    d_c = rng.uniform(4, 10, (n, 32)).astype(np.float32)
-    p_r = np.zeros((n, 2), np.float32)
-    p_c = rng.uniform(-6, 6, (n, 2)).astype(np.float32)
-    from stardist_tpu.ops.nms2d_fast import _inner_radius
-    rin_r = np.asarray(_inner_radius(jnp.asarray(d_r)))
-    rin_c = np.asarray(_inner_radius(jnp.asarray(d_c)))
-    lb = np.asarray(_erosion_lb_area(
-        jnp.asarray(d_r), jnp.asarray(p_r), jnp.asarray(rin_r),
-        jnp.asarray(d_c), jnp.asarray(p_c), jnp.asarray(rin_c)))
-    # fine-grid true intersection area
-    S = 160
-    g = np.linspace(-22, 22, S).astype(np.float32)
-    q = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
-    cell = (g[1] - g[0]) ** 2
-    qb = jnp.asarray(np.broadcast_to(q, (n,) + q.shape))
-    in_r = np.asarray(points_in_polygons(jnp.asarray(d_r), jnp.asarray(p_r), qb))
-    in_c = np.asarray(points_in_polygons(jnp.asarray(d_c), jnp.asarray(p_c), qb))
-    inter = (in_r & in_c).sum(1) * cell
-    # allow tiny rasterization slack on the true area
-    assert (lb <= inter + 3.0).all(), (lb - inter).max()
+def test_pair_frac_jnp_vs_host_estimator():
+    """The jnp pair estimator (_pair_frac, the CPU execution path of the
+    rounds kernel) must agree with the package-wide blocked estimator."""
+    from stardist_tpu.ops.nms2d_fast import _pair_frac
+    from stardist_tpu.ops.polygon import polygon_bboxes
+    rng = np.random.RandomState(2)
+    P = 256
+    d_r = jnp.asarray(rng.uniform(3, 12, (P, 32)).astype(np.float32))
+    d_c = jnp.asarray(rng.uniform(3, 12, (P, 32)).astype(np.float32))
+    p_r = jnp.asarray(rng.uniform(0, 300, (P, 2)).astype(np.float32))
+    p_c = p_r + jnp.asarray(rng.uniform(-12, 12, (P, 2)).astype(np.float32))
+    lo_r, hi_r = polygon_bboxes(d_r, p_r)
+    lo_c, hi_c = polygon_bboxes(d_c, p_c)
+    frac, ext = _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, 16)
+    # against the blocked form used by the host paths: one (B=1, M=P) block
+    # per row candidate, diagonal entry = the pair
+    from stardist_tpu.ops.nms import _frac_block_2d
+    for i in range(0, P, 37):
+        fb = _frac_block_2d(d_r[i:i + 1], p_r[i:i + 1], d_c, p_c, 16,
+                            jnp.maximum(lo_r[i:i + 1, None], lo_c[None]),
+                            jnp.maximum(
+                                jnp.minimum(hi_r[i:i + 1, None], hi_c[None]) -
+                                jnp.maximum(lo_r[i:i + 1, None], lo_c[None]),
+                                0.0))
+        assert np.allclose(float(frac[i]), float(np.asarray(fb)[0, i]))
 
 
 @pytest.mark.parametrize("n,seed", [(600, 0), (2048, 1), (6000, 2)])
