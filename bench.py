@@ -286,6 +286,7 @@ def main():
     emit("train3d_steps_per_s", 20 / (time.perf_counter() - t0),
          "steps/s (batch 2x(32,96,96))")
 
+    model3.set_inference_precision("bfloat16")
     model3.predict_instances(img3, prob_thresh=0.5, show_tile_progress=False)  # warm
     times = []
     for _ in range(2):
@@ -295,6 +296,25 @@ def main():
         times.append(time.perf_counter() - t0)
     emit("predict3d_throughput", np.prod(img3.shape) / 1e6 / min(times),
          "Mvox/s")
+
+    # fused 3D device path (forward + extract + banded polyhedron NMS +
+    # raster in ONE dispatch; labels fetched — the 3D result is consumed on
+    # host). Warm once for capacity discovery + compiles.
+    model3.predict_instances_device(img3, prob_thresh=0.5)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        labels3d, det3d = model3.predict_instances_device(img3, prob_thresh=0.5)
+        times.append(time.perf_counter() - t0)
+    n3_dev = len(det3d["prob"])
+    n3_host = len(polys3["prob"])
+    print(f"predict_instances_device 3D {img3.shape}: {min(times)*1e3:.1f} ms, "
+          f"{n3_dev} survivors (host path: {n3_host})", file=sys.stderr)
+    emit("predict3d_device_throughput", np.prod(img3.shape) / 1e6 / min(times),
+         "Mvox/s (fused device path)")
+    emit("surv3d_device_vs_host_delta",
+         abs(n3_dev - n3_host) / max(n3_host, 1),
+         "relative survivor-count delta (device vs host 3D)")
 
     # -- headline: end-to-end 2D predict -------------------------------------
     times = []

@@ -43,12 +43,17 @@ def main():
         b = jnp.zeros(Co, jnp.float32)
         y = conv2d_hcw(x, w, b)
         jax.device_get(y[:1, :1, :1])
+        # the axon tunnel costs ~28 ms per blocking dispatch round trip:
+        # issue REPS async dispatches back-to-back and sync once, so the
+        # RTT is paid once, not per iteration
+        REPS = 5
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            y = conv2d_hcw(x, w, b)
-            jax.device_get(y[:1, :1, :1])
-            ts.append(time.perf_counter() - t0)
+            for _ in range(REPS - 1):
+                conv2d_hcw(x, w, b)          # async; ref dropped -> freed
+            conv2d_hcw(x, w, b).block_until_ready()
+            ts.append((time.perf_counter() - t0) / REPS)
         t = min(ts)
         flops = 2 * H * W * Co * 9 * C
         roof = min(Co, 128) / 128

@@ -6,6 +6,7 @@ supports both 'unet' and 'resnet' backbones.
 """
 from __future__ import annotations
 
+import functools
 import warnings
 
 import numpy as np
@@ -402,6 +403,238 @@ class StarDist3D(StarDistBase):
             res_dict.update(dict(class_prob=prob_class, class_id=np.argmax(prob_class, axis=-1)))
 
         return labels, res_dict
+
+    # -- fully device-resident prediction ----------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _device_instances_fn(self, K, b_key, nms_statics, M, W, chunk, shape):
+        """One jitted device program for the ENTIRE 3D instance-prediction
+        pipeline: forward pass (Pallas CHW conv on TPU), sparse candidate
+        extraction (threshold + border + top-K), banded polyhedron NMS
+        (ops/nms.py ``_nms3d_banded_traced`` — the TPU-native replacement
+        for the reference's hottest loop, stardist/lib/
+        stardist3d_impl.cpp:956-1385), survivor compaction and packed-label
+        rasterization. No intermediate touches the host; every
+        data-dependent size decision is a static capacity with an in-kernel
+        validity flag the (host) caller inspects once per volume.
+
+        ``nms_statics`` = (axis, Q, NB, A_max, P, S): banding axis, block
+        rows, band half-width in blocks, ambiguous-row and pair-slot
+        capacities, lattice samples per axis."""
+        from ..ops.nms import _bucket, _nms3d_banded_traced
+        from ..ops.rasterize import _raster3d_packed_dyn
+        import jax
+        import jax.numpy as jnp
+        multiclass = self._is_multiclass()
+        extract = self._sparse_extract_fn(K, b_key, multiclass)
+        grid = tuple(int(g) for g in self.config.grid)
+        rays = rays_from_json(self.config.rays_json)
+        ray_dirs = jnp.asarray(np.asarray(rays.vertices, np.float32))
+        faces = jnp.asarray(np.asarray(rays.faces, np.int32))
+        (axis, Q, NB, A_max, P, S) = nms_statics
+        Npad = _bucket(K, minimum=2 * Q)
+
+        @jax.jit
+        def run(params, extra_vars, x, prob_thresh, nms_thresh):
+            outs = extract(params, extra_vars, x, prob_thresh)
+            vals, d, points, valid, n_above, dmax = outs[:6]
+            pc = outs[6] if multiclass else None
+            if Npad > K:
+                d = jnp.pad(d, ((0, Npad - K), (0, 0)), constant_values=1e-3)
+                points = jnp.pad(points, ((0, Npad - K), (0, 0)))
+                vals = jnp.pad(vals, (0, Npad - K), constant_values=-1.0)
+                valid = jnp.pad(valid, (0, Npad - K))
+                if multiclass:
+                    pc = jnp.pad(pc, ((0, Npad - K), (0, 0)))
+            # host candidate-order contract (nms.py non_maximum_suppression_
+            # 3d_sparse): np.argsort(prob, kind="stable")[::-1] — descending
+            # prob with ties in descending list order
+            iota = jnp.arange(Npad, dtype=jnp.int32)
+            _, _, perm_h = jax.lax.sort((-vals, -iota, iota), dimension=0,
+                                        num_keys=2)
+            vals = jnp.take(vals, perm_h, axis=0)
+            d = jnp.take(d, perm_h, axis=0)
+            points = jnp.take(points, perm_h, axis=0)
+            valid = jnp.take(valid, perm_h, axis=0)
+            if multiclass:
+                pc = jnp.take(pc, perm_h, axis=0)
+            n_valid = jnp.minimum(n_above, K).astype(jnp.int32)
+            keep, nms_flags, stats = _nms3d_banded_traced(
+                d, points, ray_dirs, faces, n_valid, nms_thresh, grid,
+                axis, Q, NB, A_max, P, S)
+            kf = keep & valid
+            n_surv = jnp.sum(kf.astype(jnp.int32))
+            # compact survivors (in descending-prob = NMS rank order) into M
+            # fixed slots via one stable sort
+            surv_rank = jnp.cumsum(kf.astype(jnp.int32)) - 1
+            key = jnp.where(kf, surv_rank, jnp.int32(2 ** 30))
+            _, perm = jax.lax.sort(
+                (key, jnp.arange(Npad, dtype=jnp.int32)), dimension=0,
+                num_keys=1)
+            Me = min(M, Npad)
+            permM = perm[:Me]
+            slot = jnp.arange(Me, dtype=jnp.int32)
+            validM = slot < n_surv
+            dM = jnp.take(d, permM, axis=0)
+            pM = jnp.take(points, permM, axis=0).astype(jnp.float32) \
+                * jnp.asarray(grid, jnp.float32)[None]
+            probM = jnp.where(validM, jnp.take(vals, permM, axis=0), 0.0)
+            pcM = jnp.take(pc, permM, axis=0) if multiclass else None
+            # raster ordering contract (geometry/geom3d.py
+            # polyhedron_to_label): decreasing probability, first writer
+            # wins, ties -> EARLIER in the survivor list. Slots are already
+            # in that list order, so order value = n_surv - slot handles
+            # both the prob order and the tie rule in one expression.
+            order_vals = jnp.where(validM, n_surv - slot, 0)
+            labsM = jnp.where(validM, slot + 1, 0)
+            labels_img = _raster3d_packed_dyn(
+                dM, pM, order_vals, labsM, ray_dirs, faces, n_surv, shape,
+                W, chunk)
+            fits_surv = n_surv <= jnp.minimum(Me, 2 ** 15 - 1)
+            # dist is in full-resolution voxels; the window must cover the
+            # largest polyhedron
+            w_ok = 2.0 * dmax + 4.0 <= jnp.float32(W)
+            flags = nms_flags + (fits_surv, w_ok)
+            if multiclass:
+                return (labels_img, dM, pM, probM, n_surv, n_above, dmax,
+                        flags, stats, pcM)
+            return labels_img, dM, pM, probM, n_surv, n_above, dmax, flags, stats
+
+        return run
+
+    def predict_instances_device(self, img, axes=None, normalizer=None,
+                                 prob_thresh=None, nms_thresh=None, b=2,
+                                 verbose=False, fetch=True):
+        """3D instance prediction with the whole pipeline resident on
+        device — ONE jitted dispatch runs forward pass, candidate
+        extraction, banded polyhedron NMS and label rasterization
+        (`_device_instances_fn`); the host only uploads the volume and reads
+        back a handful of scalars (validity flags + counts), retrying with
+        the next capacity bucket on overflow and falling back to
+        :meth:`predict_instances` when the field exceeds the device path's
+        limits. Returns ``(labels, details)`` like
+        :meth:`predict_instances` (labels relabeled sequentially, same as
+        the host renderer). ``fetch=False`` keeps labels/candidates as
+        device arrays.
+
+        TPU-native counterpart of the reference's 3D predict->NMS->render
+        flow (stardist/models/model3d.py:462-551 and stardist3d_impl.cpp
+        greedy NMS + rasterizer) with zero host round trips in the steady
+        state."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.nms import _bucket, LAST_NMS_COUNTERS
+        multiclass = self._is_multiclass()
+        if prob_thresh is None:
+            prob_thresh = self.thresholds.prob
+        if nms_thresh is None:
+            nms_thresh = self.thresholds.nms
+
+        grid = tuple(self.config.grid)
+        (x, axes, axes_net, axes_net_div_by, _permute_axes, resizer,
+         n_tiles, _grid, grid_dict, channel, tiling_setup) = \
+            self._predict_setup(img, axes, normalizer, None, False, {})
+        shape_inst = tuple(s for s, a in zip(_permute_axes(img).shape,
+                                             axes_net) if a != "C")
+        b_key = self._device_border_key(b, x, axes_net, resizer)
+        x_shape = x.shape
+        tdt = getattr(self, "transfer_dtype", None)
+        x_up = x[np.newaxis].astype(tdt) if tdt is not None else x[np.newaxis]
+        x_dev = jnp.asarray(x_up)
+
+        out_size = int(np.prod([s // g for s, g in zip(x_shape[:-1], grid)]))
+        caps_key = "x".join(str(int(s)) for s in x_shape[:-1])
+        caps = self._device_caps_for(caps_key)
+        K = min(caps.get("K", self._extract_k0 >> 2), out_size)
+        M = caps.get("M", 8192)
+        Wwin = caps.get("W", 32)
+        NB = caps.get("NB", 1)
+        A = caps.get("A", 32)
+        P = caps.get("P", 4096)
+        Q, S, chunk = 256, 10, 16
+
+        pt, nt = jnp.float32(prob_thresh), jnp.float32(nms_thresh)
+        axis = int(np.argmax(shape_inst))
+        for _ in range(16):
+            fn = self._device_instances_fn(
+                K, b_key, (axis, Q, NB, A, P, S), M, Wwin, chunk, shape_inst)
+            outs = fn(self.params, self._extra_vars, x_dev, pt, nt)
+            labels_dev, dM, pM, probM = outs[:4]
+            pcM = outs[9] if multiclass else None
+            n_surv, n_above, dmax, flags, stats = jax.device_get(outs[4:9])
+            n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
+            band_ok, amb_ok, pairs_ok, fits_surv, w_ok = (bool(f) for f in flags)
+            max_amb, max_pairs = (int(s) for s in stats)
+            retried = False
+            if n_above > K:
+                if K >= out_size:
+                    break
+                K = min(out_size, 1 << int(np.ceil(np.log2(n_above))))
+                retried = True
+            if not band_ok:
+                if NB >= 8:
+                    break
+                NB *= 2
+                retried = True
+            if not amb_ok:
+                A = min(1 << int(np.ceil(np.log2(max(max_amb, 2)))), Q)
+                if A > Q:
+                    break
+                retried = True
+            if not pairs_ok:
+                if P >= 1 << 20:
+                    break
+                P = 1 << int(np.ceil(np.log2(max(max_pairs, 2))))
+                retried = True
+            if not fits_surv:
+                if n_surv > 2 ** 15 - 1:
+                    break
+                M = 1 << int(np.ceil(np.log2(n_surv)))
+                retried = True
+            if not w_ok:
+                need = 2.0 * dmax + 4.0
+                Wwin = max(16, int(np.ceil(need / 8)) * 8)
+                retried = True
+            if retried:
+                continue
+            caps.update(K=K, M=M, W=Wwin, NB=NB, A=A, P=P)
+            self._save_device_caps(self._device_predict_caps)
+            LAST_NMS_COUNTERS.clear()
+            LAST_NMS_COUNTERS.update(
+                n_candidates=min(n_above, K), n_survivors=n_surv,
+                n_amb_pairs=max_pairs, n_eval_pairs=max_pairs, n_rounds=1)
+            if verbose:
+                print(f"device predict 3D: {min(n_above, K)} candidates, "
+                      f"{n_surv} survivors", flush=True)
+            rays = rays_from_json(self.config.rays_json)
+            details = dict(dist=dM[:n_surv], points=pM[:n_surv],
+                           prob=probM[:n_surv], rays=rays,
+                           rays_vertices=rays.vertices,
+                           rays_faces=rays.faces,
+                           nms_counters=dict(LAST_NMS_COUNTERS))
+            if multiclass:
+                details["class_prob"] = pcM[:n_surv]
+                details["class_id"] = jnp.argmax(pcM[:n_surv], axis=-1)
+            if fetch:
+                dist_h, points_h, prob_h = (np.asarray(a) for a in jax.device_get(
+                    (details["dist"], details["points"], details["prob"])))
+                details.update(dist=dist_h,
+                               points=points_h.astype(np.int32),
+                               prob=prob_h)
+                if multiclass:
+                    pc_h = np.asarray(jax.device_get(details["class_prob"]))
+                    details.update(class_prob=pc_h,
+                                   class_id=np.argmax(pc_h, axis=-1))
+                labels = np.asarray(labels_dev).astype(np.int32)
+                labels, _, _ = relabel_sequential(labels)
+            else:
+                labels = labels_dev
+            return labels, details
+        # capacity cascade exhausted (or unsupported field): host path
+        return self.predict_instances(img, axes=axes, normalizer=normalizer,
+                                      prob_thresh=prob_thresh,
+                                      nms_thresh=nms_thresh,
+                                      show_tile_progress=False)
 
     def _axes_div_by(self, query_axes):
         if self.config.backbone == "unet":

@@ -20,69 +20,76 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.conv_pallas import conv2d_hcw
+from ..ops.conv_pallas import conv2d_hcw, conv3d_hcw
 
 _KERNEL_ACTS = ("relu", "elu", "linear")
 
 
 def supports_chw(net) -> bool:
     """True when `chw_forward` can replace `net.apply` for inference."""
-    return (net.n_dim == 2
+    return (net.n_dim in (2, 3)
             and net.backbone == "unet"
-            and tuple(net.unet_kernel_size) == (3, 3)
+            and tuple(net.unet_kernel_size) == (3,) * net.n_dim
             and not net.unet_batch_norm
             and str(net.unet_activation).lower() in _KERNEL_ACTS
             and str(net.unet_last_activation).lower() in _KERNEL_ACTS)
 
 
 def _conv_block(x, p, act):
-    """ConvBlock equivalent (conv + bias + activation); x: (H, C, W)."""
-    k = p["Conv_0"]["kernel"]          # (3, 3, C, Cout)
+    """ConvBlock equivalent (conv + bias + activation).
+
+    x: (H, C, W) with a (3, 3, C, Cout) kernel, or (D, H, C, W) with a
+    (3, 3, 3, C, Cout) kernel — the channel axis is -2 in both layouts."""
+    k = p["Conv_0"]["kernel"]
     b = p["Conv_0"]["bias"]
+    conv = conv2d_hcw if k.ndim == 4 else conv3d_hcw
     act = str(act).lower()
     if act in _KERNEL_ACTS:
-        return conv2d_hcw(x, k, b, act=act)
-    y = conv2d_hcw(x, k, b, act="linear")
+        return conv(x, k, b, act=act)
+    y = conv(x, k, b, act="linear")
     import flax.linen as nn
     return {"tanh": jnp.tanh, "sigmoid": nn.sigmoid, "swish": nn.swish,
             "gelu": nn.gelu}[act](y)
 
 
 def _max_pool(x, pool):
-    """2x2 (or 1x2/2x1) max-pool on (H, C, W) via strided slices.
+    """2x max-pool per spatial dim on (..., C, W) via strided slices.
 
-    XLA's reduce_window picks a catastrophic layout for (H, C, W) inputs with
-    C >= 64 (~470 ms for (1024, 64, 1024) on v5e vs ~5 ms this way); stride-2
-    slice+max lowers to cheap shifts/selects instead."""
-    H, C, W = x.shape
-    if pool[0] > 1:
-        assert pool[0] == 2
-        x = jnp.maximum(x[0::2], x[1::2])
-    if pool[1] > 1:
-        assert pool[1] == 2
-        x = jnp.maximum(x[:, :, 0::2], x[:, :, 1::2])
+    pool: one factor per spatial dim — (py, px) for (H, C, W), (pz, py, px)
+    for (D, H, C, W). XLA's reduce_window picks a catastrophic layout for
+    (H, C, W) inputs with C >= 64 (~470 ms for (1024, 64, 1024) on v5e vs
+    ~5 ms this way); stride-2 slice+max lowers to cheap shifts/selects."""
+    # spatial axes in layout order: leading dims hold all but W; W is last
+    axes = tuple(range(len(pool) - 1)) + (x.ndim - 1,)
+    for p, ax in zip(pool, axes):
+        if p > 1:
+            assert p == 2
+            sl0 = tuple(slice(0, None, 2) if a == ax else slice(None)
+                        for a in range(x.ndim))
+            sl1 = tuple(slice(1, None, 2) if a == ax else slice(None)
+                        for a in range(x.ndim))
+            x = jnp.maximum(x[sl0], x[sl1])
     return x
 
 
 def _upsample(x, factors):
-    if factors[0] > 1:
-        x = jnp.repeat(x, factors[0], axis=0)
-    if factors[1] > 1:
-        x = jnp.repeat(x, factors[1], axis=2)
+    axes = tuple(range(len(factors) - 1)) + (x.ndim - 1,)
+    for f, ax in zip(factors, axes):
+        if f > 1:
+            x = jnp.repeat(x, f, axis=ax)
     return x
 
 
 def _head_1x1(x, p):
-    """1x1 conv head as a channel-contraction matmul; x: (H, C, W) bf16.
+    """1x1 conv head as a channel-contraction matmul; x: (..., C, W) bf16.
 
-    Returns (H, W, Cout) float32 — born in (pixel, channel) order, so the
-    flat (H*W, Cout) view needs no transpose."""
-    H, C, W = x.shape
+    Returns (..., W, Cout) float32 — born in (pixel, channel) order, so the
+    flat (n_pixels, Cout) view needs no transpose."""
     k = p["kernel"].reshape(p["kernel"].shape[-2:]).astype(x.dtype)  # (C, Cout)
     b = p["bias"].astype(jnp.float32)
-    y = jax.lax.dot_general(x, k, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)      # (H, W, Cout)
-    return y + b[None, None, :]
+    y = jax.lax.dot_general(x, k, (((x.ndim - 2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y + b
 
 
 def chw_forward(net, params, x):
@@ -90,13 +97,15 @@ def chw_forward(net, params, x):
 
     net: a StarDistNet instance (provides the static topology).
     params: its Flax parameter pytree (params collection).
-    x: (H, W, C_in) input (single image, no batch dim).
+    x: (H, W, C_in) or (D, H, W, C_in) input (single image, no batch dim).
 
-    Returns (prob, dist[, prob_class]): prob (H', W') f32,
-    dist (H'*W', R) f32, prob_class (H'*W', n_classes+1) f32.
+    Returns (prob, dist[, prob_class]): prob (H', W') / (D', H', W') f32,
+    dist (n_pixels, R) f32, prob_class (n_pixels, n_classes+1) f32.
     """
     assert supports_chw(net)
-    h = jnp.swapaxes(x, 1, 2).astype(jnp.bfloat16)         # (H, C_in, W)
+    nd = net.n_dim
+    # channels-last -> (..., C, W): move C in front of W
+    h = jnp.swapaxes(x, nd - 1, nd).astype(jnp.bfloat16)
 
     top_i = 0
 
@@ -108,7 +117,7 @@ def chw_forward(net, params, x):
 
     # -- grid pre-pooling (mirrors unet.py StarDistNet.__call__) ------------
     grid = tuple(net.grid)
-    pooled = np.ones(2, int)
+    pooled = np.ones(nd, int)
     while tuple(pooled) != grid:
         pool = 1 + (np.asarray(grid) > pooled)
         pooled *= pool
@@ -139,7 +148,7 @@ def chw_forward(net, params, x):
         h = bb_block(h, net.unet_activation)
     h = bb_block(h, net.unet_activation)
     for n in reversed(range(n_depth)):
-        h = jnp.concatenate([_upsample(h, pool), skips[n]], axis=1)
+        h = jnp.concatenate([_upsample(h, pool), skips[n]], axis=-2)
         for _ in range(n_conv - 1):
             h = bb_block(h, net.unet_activation)
         h = bb_block(h, net.unet_activation if n > 0 else net.unet_last_activation)

@@ -1480,11 +1480,14 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
     """Overlap criterion for a block of row candidates vs column candidates.
 
     Returns bool (B, M): A_inter / min(A_r, A_c) > thresh, with A_inter
-    estimated by the package-wide S x S midpoint-grid estimator over the
-    pair's bbox intersection. Every NMS execution path (dense, blocked,
-    onepass, two-layout) shares this criterion so their decisions agree
-    exactly.
+    estimated by the package-wide cascade estimator over the pair's bbox
+    intersection (ops/nms2d_fast.py module doc): the coarse
+    CASCADE_S x CASCADE_S grid decides pairs at least CASCADE_MARGIN from
+    the decision boundary, the fine S x S grid decides the rest. Every NMS
+    execution path (dense, blocked, onepass, two-layout v2) shares this
+    definition so their decisions agree exactly.
     """
+    from .nms2d_fast import CASCADE_S, CASCADE_MARGIN
     lo_r, hi_r = polygon_bboxes(dist_r, points_r)  # (B,2)
     lo_c, hi_c = polygon_bboxes(dist_c, points_c)  # (M,2)
     area_r = polygon_areas(dist_r)
@@ -1497,8 +1500,11 @@ def _overlap_block_2d(dist_r, points_r, dist_c, points_c, S, thresh):
     min_area = jnp.minimum(area_r[:, None], area_c[None])
     fstar = thresh * (min_area + 1e-10) / jnp.maximum(ext_area, 1e-10)
 
+    frac8 = _frac_block_2d(dist_r, points_r, dist_c, points_c, CASCADE_S,
+                           plo, ext)
     frac = _frac_block_2d(dist_r, points_r, dist_c, points_c, S, plo, ext)
-    return frac > fstar
+    return jnp.where(jnp.abs(frac8 - fstar) >= CASCADE_MARGIN,
+                     frac8 > fstar, frac > fstar)
 
 
 def nms_polygons(dist, points, scores=None, thresh=0.5, use_bbox=True,
@@ -1900,6 +1906,63 @@ def _nms_polyhedra_device(dist, points, rays, thresh, samples=10, row_block=64,
                 dr, pr, dc, pc, ray_dirs, faces, thresh),
         )
     return ~np.asarray(suppressed)[:N]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _nms3d_banded_traced(dist, points, ray_dirs, faces, n_real, thresh,
+                         grid, axis, Q, NB, A_max, P, S):
+    """`_greedy_nms_3d_banded` with the device-predict calling convention:
+    consumes the sparse-extraction outputs directly (grid-unit integer
+    points, traced candidate count, descending-score order), sorts along the
+    static spatial ``axis`` in-trace and verifies the static band width
+    ``NB`` in-trace — so the fused 3D dispatch needs NO host-side inspection
+    of the candidate field (the host retry ladder widens NB/A_max/P on a
+    False flag). Returns (keep, (band_ok, amb_ok, pairs_ok), (max_amb,
+    max_pairs)) with ``keep`` in the input (descending-score) order.
+
+    TPU-native replacement for the reference's greedy polyhedron NMS loop
+    (stardist/lib/stardist3d_impl.cpp:956-1385)."""
+    Npad = dist.shape[0]
+    iota = jnp.arange(Npad, dtype=jnp.int32)
+    valid = iota < n_real
+    d = jnp.where(valid[:, None], jnp.maximum(dist.astype(jnp.float32), 1e-3),
+                  1e-3)
+    pts = points.astype(jnp.float32) * jnp.asarray(grid, jnp.float32)[None]
+    pts = jnp.where(valid[:, None], pts, 1e9)
+    rank = jnp.where(valid, iota, jnp.int32(2 ** 30))
+    # sort along the banding axis (invalid slots carry 1e9 -> sort last)
+    _, _, perm = jax.lax.sort((pts[:, axis], iota, iota), dimension=0,
+                              num_keys=2)
+    d_s = jnp.take(d, perm, axis=0)
+    p_s = jnp.take(pts, perm, axis=0)
+    rank_s = jnp.take(rank, perm, axis=0)
+    valid_s = jnp.take(valid, perm, axis=0)
+    # band validity: a pair can only overlap when its axis distance is
+    # <= T = 2*dist_max + 1 (bboxes live within dist_max of the center);
+    # NB is wide enough iff for every Q-row block the first column outside
+    # its (2NB+1)Q window is farther than T from the block's extremes
+    T = 2.0 * jnp.max(jnp.where(valid[:, None], d, 0.0)) + 1.0
+    s = jnp.where(valid_s, p_s[:, axis], jnp.float32(jnp.inf))
+    nb_blocks = Npad // Q
+    sb = s.reshape(nb_blocks, Q)
+    vb = valid_s.reshape(nb_blocks, Q)
+    hi_b = jnp.max(jnp.where(vb, sb, -jnp.inf), axis=1)
+    lo_b = jnp.min(jnp.where(vb, sb, jnp.inf), axis=1)
+    bi = jnp.arange(nb_blocks, dtype=jnp.int32)
+    r_idx = (bi + NB + 1) * Q
+    rv = jnp.where(r_idx < Npad, jnp.take(s, jnp.minimum(r_idx, Npad - 1)),
+                   jnp.float32(jnp.inf))
+    l_idx = (bi - NB) * Q - 1
+    lv = jnp.where(l_idx >= 0, jnp.take(s, jnp.maximum(l_idx, 0)),
+                   jnp.float32(-jnp.inf))
+    band_ok = jnp.all(rv > hi_b + T) & jnp.all(lv < lo_b - T)
+    suppressed, max_amb, max_pairs = _greedy_nms_3d_banded(
+        d_s, p_s, ray_dirs, faces, rank_s, valid_s, jnp.int32(0), thresh,
+        Q, NB, A_max, P, S)
+    keep_s = ~suppressed & valid_s
+    keep = jnp.zeros(Npad, bool).at[perm].set(keep_s)
+    flags = (band_ok, max_amb <= A_max, max_pairs <= P)
+    return keep, flags, (max_amb, max_pairs)
 
 
 # ---------------------------------------------------------------------------

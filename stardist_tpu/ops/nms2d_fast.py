@@ -71,6 +71,20 @@ import numpy as np
 
 from .polygon import polygon_areas, polygon_bboxes
 
+# The package-wide 2D pair-overlap CRITERION is a two-level sampled cascade:
+# the coarse CASCADE_S x CASCADE_S midpoint-grid fraction decides a pair
+# whenever it is at least CASCADE_MARGIN away from the decision boundary
+# (|frac_coarse - fstar| >= margin); only the remaining near-boundary pairs
+# (~5% on production fields) are decided by the fine S x S (16x16) grid.
+# Every execution path (dense blocks, onepass, two-layout v2 — TPU Pallas
+# and pure-jnp alike) implements this same definition, so decisions agree
+# exactly within a platform. Empirically (bound study, 300k ambiguous pairs
+# of the 65k clustered field): the coarse stage decides 95.1% of pairs with
+# 0 disagreements vs the pure 16x16 decision at margin 0.1, for 4x less
+# sampling work on the decided pairs.
+CASCADE_S = 8
+CASCADE_MARGIN = 0.1
+
 
 # ---------------------------------------------------------------------------
 # gather-free point-in-polygon (identical results to polygon.points_in_polygons)
@@ -172,11 +186,15 @@ def _inner_radius(dist):
 # ---------------------------------------------------------------------------
 
 def _eval_pairs(F_pad, pr, pw, slot_ok, pad, Q, W, thresh, S, use_pallas, R):
-    """Exact sampled-overlap verdicts for flat pair slots.
+    """Sampled-overlap verdicts for flat pair slots via the package-wide
+    cascade criterion (see module doc: CASCADE_S grid decides when at least
+    CASCADE_MARGIN from the boundary, else the fine S x S grid decides).
 
     pr (P,) sorted-layout row index (the suppressor), pw (P,) band column
-    offset; returns sup (P,) bool (the package-wide S x S estimator
-    criterion) masked by slot_ok."""
+    offset; returns (sup (P,) bool masked by slot_ok, cascade_ok flag —
+    False when more than the static fine-slot capacity was undecided by
+    the coarse stage; results are then invalid and the caller retries)."""
+    P = pr.shape[0]
     pc = (pr // Q) * Q + pw                 # padded column index into F_pad
 
     def unpack(Fg):
@@ -187,13 +205,40 @@ def _eval_pairs(F_pad, pr, pw, slot_ok, pad, Q, W, thresh, S, use_pallas, R):
     d_c, p_c, lo_c, hi_c, a_c = unpack(jnp.take(F_pad, pc, axis=0))
     plo = jnp.maximum(lo_r, lo_c)
     ext = jnp.maximum(jnp.minimum(hi_r, hi_c) - plo, 0.0)
-    if use_pallas:
-        from .pair_overlap import pair_frac
-        frac = pair_frac(d_r, p_r, d_c, p_c, plo, ext, S=S, interpret=False)
-    else:
-        frac, _ = _pair_frac(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, S)
-    inter = frac * ext[:, 0] * ext[:, 1]
-    return slot_ok & (inter / (jnp.minimum(a_r, a_c) + 1e-10) > thresh)
+    fstar = (thresh * (jnp.minimum(a_r, a_c) + 1e-10)
+             / jnp.maximum(ext[:, 0] * ext[:, 1], 1e-10))
+
+    def frac_fn(dr, pr_, lor, hir, dc, pc_, loc, hic, plo_, ext_, s):
+        if use_pallas:
+            from .pair_overlap import pair_frac
+            return pair_frac(dr, pr_, dc, pc_, plo_, ext_, S=s,
+                             interpret=False)
+        return _pair_frac(dr, pr_, lor, hir, dc, pc_, loc, hic, s)[0]
+
+    frac8 = frac_fn(d_r, p_r, lo_r, hi_r, d_c, p_c, lo_c, hi_c, plo, ext,
+                    CASCADE_S)
+    decided = jnp.abs(frac8 - fstar) >= CASCADE_MARGIN
+    sup = slot_ok & (frac8 > fstar)
+
+    # fine stage on the compacted undecided pairs (static capacity UN; the
+    # coarse stage decides ~95%, so P//8 has ample headroom — overflow is
+    # flagged, never silently mis-decided)
+    UN = max(min(P, 2048), P // 8)
+    need = slot_ok & ~decided
+    fkey = jax.lax.sort(jnp.where(need, jnp.arange(P, dtype=jnp.int32),
+                                  jnp.int32(P)), dimension=0)
+    selu = fkey[:UN]
+    ok_u = selu < P
+    sel = jnp.where(ok_u, selu, 0)
+    frac16 = frac_fn(d_r[sel], p_r[sel], lo_r[sel], hi_r[sel],
+                     d_c[sel], p_c[sel], lo_c[sel], hi_c[sel],
+                     plo[sel], ext[sel], S)
+    sup_f = (frac16 > fstar[sel]) & slot_ok[sel]
+    # scatter fine verdicts back; invalid slots write out of bounds (drop)
+    sup = sup.at[jnp.where(ok_u, selu, P)].set(sup_f, mode="drop",
+                                               unique_indices=True)
+    cascade_ok = jnp.sum(need.astype(jnp.int32)) <= UN
+    return sup, cascade_ok
 
 
 @functools.partial(jax.jit, static_argnums=tuple(range(5, 13)))
@@ -395,7 +440,7 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
         return keep_s & ~resolved & (lay["cnt"] > 0) & lay["valid_s"]
 
     def round_body(c):
-        t, keep, more, n_eval, n_it_t, bands, resolveds = c
+        t, keep, more, casc_ok, n_eval, n_it_t, bands, resolveds = c
         new_bands = []
         new_res = []
         for lay, band_flat, resolved in zip(L, bands, resolveds):
@@ -424,8 +469,9 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             sel_c = jnp.where(ok_e, sel, 0)
             pr = jnp.take(rows, sel_c // W)                   # suppressor row
             pw = sel_c % W                                    # band column
-            sup = _eval_pairs(lay["F_pad"], pr, pw, ok_e,
-                              pad, Q, W, thresh, S, use_pallas, R)
+            sup, c_ok = _eval_pairs(lay["F_pad"], pr, pw, ok_e,
+                                    pad, Q, W, thresh, S, use_pallas, R)
+            casc_ok = casc_ok & c_ok
             band_flat = band_flat.at[
                 jnp.where(sup, pr * W + pw, OOB)].max(
                 jnp.bfloat16(1.0), mode="drop", unique_indices=True)
@@ -442,16 +488,16 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             new_bands.append(band_flat)
             new_res.append(resolved)
 
-        keep, n_it = fixpoint(new_bands, valid)
+        keep, n_it = fixpoint(new_bands, keep)
         more = jnp.bool_(False)
         for lay, resolved in zip(L, new_res):
             more = more | jnp.any(needed_mask(keep, lay, resolved))
-        return (t + 1, keep, more, n_eval, n_it_t + n_it,
+        return (t + 1, keep, more, casc_ok, n_eval, n_it_t + n_it,
                 tuple(new_bands), tuple(new_res))
 
     def round_cond(c):
-        t, keep, more = c[0], c[1], c[2]
-        return more & (t < RMAX)
+        t, keep, more, casc_ok = c[0], c[1], c[2], c[3]
+        return more & casc_ok & (t < RMAX)
 
     keep0, n_it0 = fixpoint(bands0, valid)
     more0 = jnp.bool_(False)
@@ -459,12 +505,13 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
     for lay, resolved in zip(L, res0):
         more0 = more0 | jnp.any(needed_mask(keep0, lay, resolved))
 
-    t, keep, more, n_eval, n_it_t, bands, resolveds = jax.lax.while_loop(
-        round_cond, round_body,
-        (jnp.int32(0), keep0, more0, jnp.int32(0), n_it0,
-         tuple(bands0), res0))
+    t, keep, more, casc_ok, n_eval, n_it_t, bands, resolveds = \
+        jax.lax.while_loop(
+            round_cond, round_body,
+            (jnp.int32(0), keep0, more0, jnp.bool_(True), jnp.int32(0),
+             n_it0, tuple(bands0), res0))
 
-    flags = (band_ok, ~more)
+    flags = (band_ok, ~more & casc_ok)
     stats = (max_amb, n_pairs_t, n_eval, t, n_it_t)
     return keep, flags, stats
 

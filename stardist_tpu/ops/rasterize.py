@@ -140,6 +140,53 @@ def _raster2d_packed_dyn(dist, points, vals, labs, n_valid, shape, W, chunk):
     return (img & 0xFFFF).astype(jnp.uint16)
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _raster3d_packed_dyn(dist, points, vals, labs, ray_dirs, faces, n_valid,
+                         shape, W, chunk):
+    """Packed-label 3D splat raster with a TRACED candidate count — the 3D
+    analog of ``_raster2d_packed_dyn`` (full polyhedron mode): per voxel the
+    largest ``vals`` entry wins, voxel value = that candidate's ``labs``
+    entry (requires vals < 2^15, labs < 2^16). Candidates must be compacted
+    to the front; slots >= n_valid are never read. Used by the fused 3D
+    device-predict pipeline (models/model3d.py ``predict_instances_device``)."""
+    img0 = jnp.zeros(shape, jnp.int32)
+    ar = jnp.arange(W, dtype=jnp.int32)
+
+    def body(i, img):
+        d = jax.lax.dynamic_slice_in_dim(dist, i * chunk, chunk, 0)
+        p = jax.lax.dynamic_slice_in_dim(points, i * chunk, chunk, 0)
+        v = jax.lax.dynamic_slice_in_dim(vals, i * chunk, chunk, 0)
+        lb = jax.lax.dynamic_slice_in_dim(labs, i * chunk, chunk, 0)
+        start = jnp.round(p).astype(jnp.int32) - W // 2  # (chunk, 3)
+        zz = start[:, 0:1] + ar[None, :]
+        yy = start[:, 1:2] + ar[None, :]
+        xx = start[:, 2:3] + ar[None, :]
+        q = jnp.stack(
+            jnp.broadcast_arrays(
+                zz[:, :, None, None].astype(jnp.float32),
+                yy[:, None, :, None].astype(jnp.float32),
+                xx[:, None, None, :].astype(jnp.float32),
+            ),
+            axis=-1,
+        ).reshape(chunk, W * W * W, 3)
+        inv, valid_f = polyhedron_face_inverses(d, ray_dirs, faces)
+        inside = points_in_polyhedra(inv, valid_f, p, q) & (v > 0)[:, None]
+        # negative indices would WRAP in the scatter — mask them out
+        in_img = ((zz >= 0)[:, :, None, None]
+                  & (yy >= 0)[:, None, :, None]
+                  & (xx >= 0)[:, None, None, :]).reshape(chunk, W ** 3)
+        inside = inside & in_img
+        val_patch = jnp.where(inside, ((v << 16) | lb)[:, None], 0)
+        zf = jnp.broadcast_to(zz[:, :, None, None], (chunk, W, W, W)).reshape(-1)
+        yf = jnp.broadcast_to(yy[:, None, :, None], (chunk, W, W, W)).reshape(-1)
+        xf = jnp.broadcast_to(xx[:, None, None, :], (chunk, W, W, W)).reshape(-1)
+        return img.at[zf, yf, xf].max(val_patch.reshape(-1), mode="drop")
+
+    n_chunks = (n_valid.astype(jnp.int32) + (chunk - 1)) // chunk
+    img = jax.lax.fori_loop(0, n_chunks, body, img0)
+    return (img & 0xFFFF).astype(jnp.uint16)
+
+
 def _can_pack_labels(order_values, labels_plus):
     """True when (order_value << 16 | label) fits an int32 scatter value."""
     return (int(order_values.max(initial=0)) < 2 ** 15

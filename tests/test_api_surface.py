@@ -178,8 +178,13 @@ def test_optimize_thresholds(tmp_path):
     model.optimize_thresholds(imgs[:1], lbls[:1], nms_threshs=[0.3, 0.5],
                               optimize_kwargs=dict(maxiter=8, verbose=0))
     _warm = _time.perf_counter() - _t0
+    # warm budget 15s: the package-wide cascade overlap criterion
+    # (ops/nms2d_fast.py module doc) costs the host/dense NMS fallback an
+    # extra coarse-grid pass (+25% sampling) so that its decisions agree
+    # exactly with the device v2 kernel, where the cascade SAVES ~3x pair
+    # work; the optimizer's prefix-NMS runs on the dense path on CPU
     assert _cold < 30.0, f"cold optimize_thresholds took {_cold:.1f}s (budget 30s)"
-    assert _warm < 12.0, f"warm optimize_thresholds took {_warm:.1f}s (budget 12s)"
+    assert _warm < 15.0, f"warm optimize_thresholds took {_warm:.1f}s (budget 15s)"
     saved = json.loads((model.logdir / "thresholds.json").read_text())
     assert abs(saved["prob"] - res["prob"]) < 1e-9
     # thresholds are picked up on reload

@@ -101,3 +101,50 @@ def test_predict_instances_chw_path(tmp_path, monkeypatch):
     assert len(res_chw["prob"]) == len(res_ref["prob"])
     assert np.abs(np.sort(res_chw["points"], 0)
                   - np.sort(res_ref["points"], 0)).max() <= 1
+
+
+@pytest.mark.parametrize("C,Cout,D,H,W", [
+    (1, 8, 5, 9, 19),     # first conv, ragged shape
+    (8, 8, 4, 16, 40),
+    (16, 8, 3, 24, 130),  # ragged width > one tile
+])
+def test_conv3d_chw_matches_xla(C, Cout, D, H, W):
+    from stardist_tpu.ops.conv_pallas import conv3d_hcw
+    rng = np.random.RandomState(C + Cout + H)
+    x = rng.randn(D, H, C, W).astype(np.float32)
+    w = (rng.randn(3, 3, 3, C, Cout) * 0.1).astype(np.float32)
+    b = rng.randn(Cout).astype(np.float32)
+    y = np.asarray(conv3d_hcw(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                              act="relu"), np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.bfloat16).transpose(0, 1, 3, 2)[None],
+        jnp.asarray(w, jnp.bfloat16), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32)[0] + b
+    ref = np.asarray(jnp.maximum(ref, 0).astype(jnp.bfloat16), np.float32
+                     ).transpose(0, 1, 3, 2)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(y - ref).max() / scale < 5e-3
+
+
+def test_chw_forward_3d_matches_flax():
+    import dataclasses
+    from stardist_tpu.models import Config3D, StarDist3D
+    from stardist_tpu.models.unet_chw import chw_forward, supports_chw
+    cfg = Config3D(rays=8, grid=(1, 2, 2), unet_n_depth=1,
+                   unet_n_filter_base=8, net_conv_after_unet=16,
+                   train_patch_size=(16, 32, 32), train_batch_size=1)
+    m = StarDist3D(cfg, name=None, basedir=None)
+    net = dataclasses.replace(m.net, dtype=jnp.bfloat16)
+    assert supports_chw(net)
+    rng = np.random.RandomState(1)
+    x = rng.rand(16, 32, 48, 1).astype(np.float32)
+    ref = net.apply({"params": m.params}, jnp.asarray(x[None]), train=False)
+    prob_ref = np.asarray(ref[0][0, ..., 0])
+    dist_ref = np.asarray(ref[1][0])
+    prob, dist = chw_forward(net, m.params, jnp.asarray(x))
+    prob = np.asarray(prob)
+    dist = np.asarray(dist).reshape(dist_ref.shape)
+    assert prob.shape == prob_ref.shape
+    assert np.abs(prob - prob_ref).max() < 1e-3
+    assert np.abs(dist - dist_ref).max() < 1e-3 * max(1.0, np.abs(dist_ref).max())

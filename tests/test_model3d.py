@@ -80,3 +80,45 @@ def test_dense_vs_sparse(tmp_path):
     labels_s, _ = model.predict_instances(imgs[0], sparse=True, prob_thresh=0.6)
     labels_d, _ = model.predict_instances(imgs[0], sparse=False, prob_thresh=0.6)
     assert np.array_equal(labels_s, labels_d)
+
+
+def test_device_predict_matches_host_3d(tmp_path):
+    """predict_instances_device (single fused dispatch: forward + extract +
+    banded polyhedron NMS + raster on device) must reproduce the
+    host-orchestrated predict_instances exactly — same label volume, same
+    survivor set (3D analog of test_predict_paths.py
+    test_device_predict_matches_host)."""
+    imgs, lbls = _data(2)
+    cfg = _small_config(train_epochs=1, train_steps_per_epoch=4)
+    model = StarDist3D(cfg, name="dev3", basedir=str(tmp_path))
+    model.train(imgs, lbls, validation_data=(imgs[:1], lbls[:1]), seed=0)
+    img = imgs[0]
+    ref_labels, ref = model.predict_instances(img, prob_thresh=0.5)
+    labels, det = model.predict_instances_device(img, prob_thresh=0.5)
+    assert labels.shape == ref_labels.shape
+    assert len(det["prob"]) == len(ref["prob"])
+    np.testing.assert_allclose(det["prob"], ref["prob"], rtol=1e-6)
+    np.testing.assert_array_equal(det["points"], ref["points"])
+    np.testing.assert_allclose(det["dist"], ref["dist"], rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_device_predict_capacity_retries_3d(tmp_path):
+    """Tiny starting capacities: the flag-checked retry cascade must converge
+    to the same result."""
+    imgs, lbls = _data(1)
+    cfg = _small_config(train_epochs=1, train_steps_per_epoch=4)
+    model = StarDist3D(cfg, name="devr3", basedir=str(tmp_path))
+    model.train(imgs, lbls, validation_data=(imgs, lbls), seed=0)
+    img = imgs[0]
+    ref_labels, ref = model.predict_instances(img, prob_thresh=0.4)
+    old_k0 = model._extract_k0
+    model._device_predict_caps = {"legacy": dict(K=512, M=256, W=8, P=64)}
+    try:
+        model._extract_k0 = 512
+        labels, det = model.predict_instances_device(img, prob_thresh=0.4)
+    finally:
+        model._extract_k0 = old_k0
+        model._device_predict_caps = {}
+    assert len(det["prob"]) == len(ref["prob"])
+    np.testing.assert_array_equal(labels, ref_labels)
