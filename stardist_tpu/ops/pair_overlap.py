@@ -121,21 +121,109 @@ def _pair_kernel(f_ref, out_ref, *, R, S, TP):
     out_ref[:, 0:1] = jnp.sum(both, axis=1, keepdims=True) / float(S * S)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _pair_call(feat, R, S, TP, interpret):
+def _pair_kernel2(f_ref, out_ref, *, R, S, TP):
+    """Two pairs per tile row (lane packing for S*S <= 64): the VPU lane
+    dimension is 128 wide, so an S=8 (64-sample) pair wastes half of every
+    lane row in `_pair_kernel`. This kernel puts pair A's samples in lanes
+    [0, NS) and pair B's in [NS, 2*NS); per-lane operands are selected by a
+    lane mask, so the expensive R-step wedge loop serves both pairs at once.
+    Per-pair arithmetic (sample coordinates, cross products, accumulation,
+    final exact 0/1-sum) is identical to `_pair_kernel` — results are
+    bitwise equal per pair.
+
+    f_ref: (TP, F) packed DOUBLE-pair features
+           [dA_r(R), dA_c(R), dB_r(R), dB_c(R),
+            pA_r(2), pA_c(2), pB_r(2), pB_c(2),
+            ploA(2), extA(2), ploB(2), extB(2), pad...].
+    out_ref: (TP, 2) f32 (fracA, fracB).
+    """
+    NS = S * S
+    F = f_ref[:, :]
+    dA_r, dA_c = F[:, :R], F[:, R:2 * R]
+    dB_r, dB_c = F[:, 2 * R:3 * R], F[:, 3 * R:4 * R]
+    o = 4 * R
+    pA = F[:, o:o + 4]
+    pB = F[:, o + 4:o + 8]
+    boxA = F[:, o + 8:o + 12]
+    boxB = F[:, o + 12:o + 16]
+
+    dphi = 2 * np.pi / R
+    angles = np.arange(R) * dphi
+    s0 = np.sin(angles).astype(np.float32)
+    c0 = np.cos(angles).astype(np.float32)
+    s1 = np.sin(angles + dphi).astype(np.float32)
+    c1 = np.cos(angles + dphi).astype(np.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TP, 2 * NS), 1)
+    isA = lane < NS
+    idx = jnp.where(isA, lane, lane - NS)     # per-pair sample index in [0, NS)
+    gr = ((idx // S).astype(jnp.float32) + 0.5) / float(S)
+    gc = ((idx % S).astype(jnp.float32) + 0.5) / float(S)
+
+    def sel(a, b, j):
+        return jnp.where(isA, a[:, j:j + 1], b[:, j:j + 1])
+
+    qr = sel(boxA, boxB, 0) + gr * sel(boxA, boxB, 2)
+    qc = sel(boxA, boxB, 1) + gc * sel(boxA, boxB, 3)
+
+    def inside(da, db, pj):
+        """Inside test against the A-polygon (lanes < NS) / B-polygon
+        (lanes >= NS); da/db are the two (TP, R) dist blocks, pj the column
+        offset of the center inside pA/pB."""
+        ur = qr - sel(pA, pB, pj)
+        uc = qc - sel(pA, pB, pj + 1)
+
+        def cr(kk):
+            return ur * float(c0[kk % R]) - uc * float(s0[kk % R])
+
+        cr0 = cr(0)
+        prev = cr0
+        v0r = jnp.zeros_like(ur)
+        v0c = jnp.zeros_like(ur)
+        v1r = jnp.zeros_like(ur)
+        v1c = jnp.zeros_like(ur)
+        for kk in range(R):
+            nxt = cr0 if kk == R - 1 else cr(kk + 1)
+            w = ((prev >= 0) & (nxt < 0)).astype(jnp.float32)
+            prev = nxt
+            a = sel(da, db, kk)
+            b = sel(da, db, (kk + 1) % R)
+            v0r = v0r + w * (a * float(s0[kk]))
+            v0c = v0c + w * (a * float(c0[kk]))
+            v1r = v1r + w * (b * float(s1[kk]))
+            v1c = v1c + w * (b * float(c1[kk]))
+        er = v1r - v0r
+        ec = v1c - v0c
+        cross_p = er * (uc - v0c) - ec * (ur - v0r)
+        cross_c = ec * v0r - er * v0c
+        return cross_p * cross_c >= 0
+
+    in_r = inside(dA_r, dB_r, 0)
+    in_c = inside(dA_c, dB_c, 2)
+    both = jnp.logical_and(in_r, in_c).astype(jnp.float32)
+    fa = jnp.sum(jnp.where(isA, both, 0.0), axis=1, keepdims=True)
+    fb = jnp.sum(jnp.where(isA, 0.0, both), axis=1, keepdims=True)
+    out_ref[:, 0:1] = fa / float(NS)
+    out_ref[:, 1:2] = fb / float(NS)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _pair_call(feat, R, S, TP, interpret, packed2):
     P = feat.shape[0]
-    kern = functools.partial(_pair_kernel, R=R, S=S, TP=TP)
+    kern = functools.partial(_pair_kernel2 if packed2 else _pair_kernel,
+                             R=R, S=S, TP=TP)
+    n_out = 2 if packed2 else 1
     Fw = feat.shape[1]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, n_out), jnp.float32),
         grid=(P // TP,),
         in_specs=[pl.BlockSpec((TP, Fw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((TP, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TP, n_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=P * 2 * S * S * (R * 8 + 30),
+            flops=P * n_out * 2 * S * S * (R * 8 + 30),
             bytes_accessed=P * (Fw * 4 + 4),
             transcendentals=0,
         ),
@@ -159,10 +247,40 @@ def _pack(parts, TP):
 
 
 def pair_frac(d_r, p_r, d_c, p_c, plo, ext, S=16, TP=256, interpret=None):
-    """S x S midpoint-grid overlap fraction for a flat pair list (P,)."""
+    """S x S midpoint-grid overlap fraction for a flat pair list (P,).
+
+    When S*S <= 64 two pairs share one 128-wide lane row (`_pair_kernel2`)
+    — ~2x throughput at identical per-pair results."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R = d_r.shape[-1]
+    P_in = d_r.shape[0]
+    if S * S <= 64 and P_in >= 2 and P_in % 2 == 0:
+        half = P_in // 2
+        # interleave-free split: pair 2k sits in row k as A, pair 2k+1 as B
+        # (a plain reshape of each (P, F) part: rows (2k, 2k+1) -> row k)
+        def two(x):
+            x = x.astype(jnp.float32)
+            return x.reshape(half, 2 * x.shape[1])
+
+        d2_r = two(d_r)       # [dA_r | dB_r]
+        d2_c = two(d_c)
+        p2_r = two(p_r)       # [pA_r | pB_r]
+        p2_c = two(p_c)
+        box = jnp.concatenate([plo.astype(jnp.float32),
+                               ext.astype(jnp.float32)], axis=1)  # (P, 4)
+        box2 = box.reshape(half, 8)  # [ploA extA | ploB extB]
+        # reorder into the kernel layout:
+        # [dA_r dA_c dB_r dB_c | pA_r pA_c pB_r pB_c | ploA extA ploB extB]
+        dA_r, dB_r = d2_r[:, :R], d2_r[:, R:]
+        dA_c, dB_c = d2_c[:, :R], d2_c[:, R:]
+        pA_r, pB_r = p2_r[:, :2], p2_r[:, 2:]
+        pA_c, pB_c = p2_c[:, :2], p2_c[:, 2:]
+        boxA, boxB = box2[:, :4], box2[:, 4:]
+        feat, P = _pack([dA_r, dA_c, dB_r, dB_c, pA_r, pA_c, pB_r, pB_c,
+                         boxA, boxB], TP)
+        out = _pair_call(feat, R, S, TP, bool(interpret), True)
+        return out[:half].reshape(2 * half)[:P_in]
     feat, P = _pack([d_r, d_c, p_r, p_c, plo, ext], TP)
-    out = _pair_call(feat, R, S, TP, bool(interpret))
+    out = _pair_call(feat, R, S, TP, bool(interpret), False)
     return out[:P, 0]
