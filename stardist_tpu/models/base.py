@@ -858,6 +858,8 @@ class StarDistBase:
                 jsonl_path, tb_writer, trackers, factor, patience, min_delta,
                 rlrop, val_batch, start_epoch, epoch_np_rng, epoch_np_rng_lock)
         finally:
+            if tb_writer is not None:
+                tb_writer.close()   # flush buffered scalar/image events
             stop_flag.append(True)
             try:
                 while True:
@@ -866,6 +868,43 @@ class StarDistBase:
                 pass
         self._training_finished()
         return history
+
+    def _tb_log_images(self, tb_writer, val_batch, step, n_images=3):
+        """Per-epoch TensorBoard image panels on the validation batch,
+        mirroring the reference's CARETensorBoardImage wiring (reference
+        stardist/models/model2d.py:452-472, model3d.py:547-575): input,
+        true vs predicted object probability, and three evenly spaced
+        star-dist ray channels (plus the class map when multiclass). 3D
+        volumes log their middle z-slice."""
+
+        def panels(arr):
+            a = np.asarray(jax.device_get(arr))[:n_images]
+            if a.ndim == 5:                      # (B, Z, Y, X, C) -> mid z
+                a = a[:, a.shape[1] // 2]
+            return a
+
+        x = panels(val_batch["x"])
+        outs = self.net.apply(self._variables(),
+                              jnp.asarray(val_batch["x"])[:n_images],
+                              train=False)
+        prob_p, dist_p = panels(outs[0]), panels(outs[1])
+        prob_t = panels(val_batch["prob"])
+        n_rays = self.config.n_rays
+        ray_sl = slice(0, (n_rays // min(3, n_rays)) * min(3, n_rays),
+                       n_rays // min(3, n_rays))
+        groups = {"input": x[..., :1], "prob/true": prob_t[..., :1],
+                  "prob/pred": prob_p[..., :1], "dist/pred": dist_p[..., ray_sl]}
+        if self._is_multiclass() and len(outs) > 2:
+            pc = panels(outs[2])
+            groups["class/pred"] = pc[..., 1:2] if pc.shape[-1] > 1 else pc
+        for name, g in groups.items():
+            for i in range(g.shape[0]):
+                for c in range(g.shape[-1]):
+                    img = g[i, ..., c].astype(np.float32)
+                    lo, hi = float(img.min()), float(img.max())
+                    img = (img - lo) / (hi - lo) if hi > lo else img * 0
+                    tag = name if g.shape[-1] == 1 else f"{name}/ch{c}"
+                    tb_writer.add_image(f"{tag}/{i}", img[None], step)
 
     def _fit_epochs(self, epochs, steps_per_epoch, prefetch_q, rng, history,
                     jsonl_path, tb_writer, trackers, factor, patience,
@@ -910,6 +949,11 @@ class StarDistBase:
             if tb_writer is not None:
                 for k, v in logs.items():
                     tb_writer.add_scalar(k, v, epoch + 1)
+                if val_batch is not None:
+                    try:
+                        self._tb_log_images(tb_writer, val_batch, epoch + 1)
+                    except Exception as e:  # observability must never kill training
+                        print(f"TensorBoard image logging failed: {e}", flush=True)
 
             if self.basedir is not None:
                 self.save_weights(cfg.train_checkpoint_epoch)

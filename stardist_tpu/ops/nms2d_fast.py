@@ -247,25 +247,33 @@ def _eval_pairs(F_pad, pr, pw, slot_ok, pad, Q, W, thresh, S, use_pallas, R):
     decided = jnp.abs(frac8 - fstar) >= CASCADE_MARGIN
     sup = slot_ok & (frac8 > fstar)
 
-    # fine stage on the compacted undecided pairs (static capacity UN; the
-    # coarse stage decides ~95%, so P//8 has ample headroom — overflow is
-    # flagged, never silently mis-decided)
+    # fine stage: the undecided pairs compact to a sorted prefix, then a
+    # while_loop evaluates UN-slot sub-chunks until the prefix is covered —
+    # cost tracks the REAL undecided count (coarse decides ~95%), and the
+    # stage can never overflow (P % UN == 0, both powers of two)
     UN = max(min(P, 2048), P // 8)
     need = slot_ok & ~decided
     fkey = jax.lax.sort(jnp.where(need, jnp.arange(P, dtype=jnp.int32),
                                   jnp.int32(P)), dimension=0)
-    selu = fkey[:UN]
-    ok_u = selu < P
-    sel = jnp.where(ok_u, selu, 0)
-    frac16 = frac_fn(d_r[sel], p_r[sel], lo_r[sel], hi_r[sel],
-                     d_c[sel], p_c[sel], lo_c[sel], hi_c[sel],
-                     plo[sel], ext[sel], S)
-    sup_f = (frac16 > fstar[sel]) & slot_ok[sel]
-    # scatter fine verdicts back; invalid slots write out of bounds (drop)
-    sup = sup.at[jnp.where(ok_u, selu, P)].set(sup_f, mode="drop",
-                                               unique_indices=True)
-    cascade_ok = jnp.sum(need.astype(jnp.int32)) <= UN
-    return sup, cascade_ok
+    n_un = jnp.sum(need.astype(jnp.int32))
+
+    def fine_body(s):
+        ci, sup_c = s
+        selu = jax.lax.dynamic_slice_in_dim(fkey, ci * UN, UN)
+        ok_u = selu < P
+        sel = jnp.where(ok_u, selu, 0)
+        frac16 = frac_fn(d_r[sel], p_r[sel], lo_r[sel], hi_r[sel],
+                         d_c[sel], p_c[sel], lo_c[sel], hi_c[sel],
+                         plo[sel], ext[sel], S)
+        sup_f = (frac16 > fstar[sel]) & slot_ok[sel]
+        # scatter fine verdicts back; invalid slots drop out of bounds
+        sup_c = sup_c.at[jnp.where(ok_u, selu, P)].set(
+            sup_f, mode="drop", unique_indices=True)
+        return ci + 1, sup_c
+
+    _, sup = jax.lax.while_loop(lambda s: s[0] * UN < n_un, fine_body,
+                                (jnp.int32(0), sup))
+    return sup, jnp.bool_(True)
 
 
 @functools.partial(jax.jit, static_argnums=tuple(range(5, 13)))
@@ -318,6 +326,10 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
     # resolve fewer rows per round and finish over more rounds
     EW = int(max(1 << 14, min(1 << 17, ES // 8)))
     BITD = EW * 32
+    EC = int(min(ES, 1 << 16))          # pair-eval chunk size
+    while ES % EC:                      # exact tiling: chunks must cover the
+        EC //= 2                        # ES prefix with no overlap
+    NCH = ES // EC
     valid = jnp.arange(Npad) < n_real
     dist = jnp.where(valid[:, None], dist.astype(jnp.float32), 1e-3)
     pts = jnp.where(valid[:, None], points.astype(jnp.float32), 1e9)
@@ -449,13 +461,17 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             lb = _lens_lb(rin_r[:, :, None], rin_c[:, None], dc) / denom
             sup = (lb > thresh) & pair_ok
             amb = pair_ok & ~sup & (ub > thresh)
+            # band stored TRANSPOSED (WW, Npad): suppressor rows in the
+            # lane dimension so the fixpoint's masked-OR streams at full
+            # 128-lane width (row-major (Npad, WW=20) wastes 108/128 lanes)
             band_w = jax.lax.dynamic_update_slice(
-                band_w, _pack_bits_u32(sup.reshape(G * Q, W)), (g * G * Q, 0))
+                band_w, _pack_bits_u32(sup.reshape(G * Q, W)).T,
+                (0, g * G * Q))
             amb_w = jax.lax.dynamic_update_slice(
                 amb_w, _pack_bits_u32(amb.reshape(G * Q, W)), (g * G * Q, 0))
             return band_w, amb_w
 
-        band0 = jnp.zeros((Npad, WW), jnp.uint32)
+        band0 = jnp.zeros((WW, Npad), jnp.uint32)
         amb0 = jnp.zeros((Npad, WW), jnp.uint32)
         band_w, amb_w = jax.lax.fori_loop(0, n_groups, sweep, (band0, amb0))
 
@@ -468,18 +484,26 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
                       amb_w=amb_w, valid_s=valid_s, rank_s=rank_s))
         bands0.append(band_w)
 
-    # ---- two-layout band fixpoint (greedy recursion, base order) ----------
+    # ---- two-layout band fixpoint (greedy recursion) ----------------------
+    # The fixpoint state `keep0` lives in LAYOUT-0 SORTED order; the two
+    # cross-layout index maps below replace round-4's four base-order
+    # gathers per iteration (262k pred gathers are ~2 ms each on v5e, the
+    # dominant fixpoint cost) with two.
+    idx10 = jnp.take(L[0]["inv"], L[1]["perm"])   # x_s1 = x_s0[idx10]
+    idx01 = jnp.take(L[1]["inv"], L[0]["perm"])   # x_s0 = x_s1[idx01]
+    valid_s0 = L[0]["valid_s"]
+
     def band_killed(keep_sorted, band_w):
-        """killed (Npad,) from a packed band: OR the band rows of kept
-        candidates, then shift-accumulate the (2*NB+1) word-aligned window
-        offsets (Q % 32 == 0 keeps everything word-aligned)."""
-        masked = jnp.where(keep_sorted[:, None], band_w, jnp.uint32(0))
-        m3 = masked.reshape(n_blocks, Q, WW)
-        contrib = jax.lax.reduce(m3, jnp.uint32(0), jax.lax.bitwise_or, (1,))
-        contrib3 = contrib.reshape(n_blocks, 2 * NB + 1, Q // 32)
+        """killed (Npad,) from a packed transposed band (WW, Npad): OR the
+        band rows of kept candidates, then shift-accumulate the (2*NB+1)
+        word-aligned window offsets (Q % 32 == 0 keeps it word-aligned)."""
+        masked = jnp.where(keep_sorted[None, :], band_w, jnp.uint32(0))
+        m3 = masked.reshape(WW, n_blocks, Q)
+        contrib = jax.lax.reduce(m3, jnp.uint32(0), jax.lax.bitwise_or, (2,))
+        contrib3 = contrib.reshape(2 * NB + 1, Q // 32, n_blocks)
         acc = jnp.zeros(Npad // 32 + 2 * pad // 32, jnp.uint32)
         for o in range(2 * NB + 1):
-            piece = contrib3[:, o, :].reshape(Npad // 32)
+            piece = contrib3[o].T.reshape(Npad // 32)
             sl = jax.lax.dynamic_slice_in_dim(acc, o * Q // 32, Npad // 32, 0)
             acc = jax.lax.dynamic_update_slice_in_dim(
                 acc, sl | piece, o * Q // 32, 0)
@@ -487,37 +511,39 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
         bits = (words[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None]) & 1
         return bits.reshape(Npad) > 0
 
-    def fixpoint(bands, keep_init):
+    def fixpoint(bands, keep_init0):
+        """keep_init0 and the returned keep are in layout-0 sorted order."""
         def cond(c):
-            t, keep, changed = c
+            t, keep0, changed = c
             return changed & (t < Npad)
 
         def body(c):
-            t, keep, _ = c
-            killed = jnp.zeros(Npad, bool)
-            for lay, band_w in zip(L, bands):
-                kL = band_killed(jnp.take(keep, lay["perm"]), band_w)
-                killed = killed | jnp.take(kL, lay["inv"])
-            new = valid & ~killed
-            return t + 1, new, jnp.any(new != keep)
+            t, keep0, _ = c
+            k0 = band_killed(keep0, bands[0])
+            k1 = band_killed(jnp.take(keep0, idx10), bands[1])
+            new = valid_s0 & ~k0 & ~jnp.take(k1, idx01)
+            return t + 1, new, jnp.any(new != keep0)
 
-        n_it, keep, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), keep_init, jnp.bool_(True)))
-        return keep, n_it
+        n_it, keep0, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), keep_init0, jnp.bool_(True)))
+        return keep0, n_it
 
     OOBW = jnp.int32(Npad * WW)             # word-scatter index meaning "drop"
     row_iota = base_idx
 
-    def needed_mask(keep, lay, resolved):
-        keep_s = jnp.take(keep, lay["perm"])
+    def keep_in_layout(keep0, li):
+        return keep0 if li == 0 else jnp.take(keep0, idx10)
+
+    def needed_mask(keep0, li, lay, resolved):
+        keep_s = keep_in_layout(keep0, li)
         return keep_s & ~resolved & (lay["cnt"] > 0) & lay["valid_s"]
 
     def round_body(c):
         t, keep, more, casc_ok, n_eval, n_it_t, bands, resolveds = c
         new_bands = []
         new_res = []
-        for lay, band_w, resolved in zip(L, bands, resolveds):
-            needed = needed_mask(keep, lay, resolved)
+        for li, (lay, band_w, resolved) in enumerate(zip(L, bands, resolveds)):
+            needed = needed_mask(keep, li, lay, resolved)
             # select up to RS needed rows BY RANK: resolving the
             # highest-ranked tentative survivors first is what makes the
             # restriction effective — their verdicts kill the bulk of the
@@ -550,20 +576,15 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             biota = jnp.arange(BITD, dtype=jnp.int32)
             bkey = jnp.where(bits.reshape(BITD), biota, jnp.int32(BITD))
             bkey_s = jax.lax.sort(bkey, dimension=0)
-            sel = bkey_s[:ES]                                 # (ES,)
-            ok_e = sel < BITD
-            sel_c = jnp.where(ok_e, sel, 0)
-            word_flat = jnp.take(wsel, sel_c // 32)           # RS*WW domain
-            rsel = word_flat // WW                            # row slot
-            pr = jnp.take(rows, rsel)                         # suppressor row
-            pw = (word_flat % WW) * 32 + sel_c % 32           # band column
+            sel_all = bkey_s[:ES]                             # (ES,)
+            n_bits = jnp.sum(_popcount_u32(wval).astype(jnp.int32))
+            n_sel = jnp.minimum(n_bits, jnp.int32(ES))
 
             # complete-rows guarantee: a selected row is resolved (and its
             # pairs evaluated + written) iff ALL its words made the EW cut
             # AND all its bits made the ES cut — checked via the row's LAST
             # nonzero word (flat row-major order makes prefixes row-closed)
-            n_binc = jnp.sum(ok_e.astype(jnp.int32))
-            cutoff_b = jnp.where(n_binc < ES, jnp.int32(BITD), bkey_s[ES - 1])
+            cutoff_b = jnp.where(n_bits < ES, jnp.int32(BITD), bkey_s[ES - 1])
             row_lastw = jnp.max(
                 jnp.where(amb_rows != 0, wiota.reshape(RS, WW), -1), axis=1)
             has = row_lastw >= 0
@@ -571,28 +592,50 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
             rankw = jnp.take(wpos, rlw_c)
             lastbit = rankw * 32 + _msb_u32(jnp.take(wflat, rlw_c))
             row_done = ok_r & has & (rankw < EW) & (lastbit <= cutoff_b)
-            slot_ok = ok_e & jnp.take(row_done, rsel)
 
-            sup, c_ok = _eval_pairs(lay["F_pad"], pr, pw, slot_ok,
-                                    pad, Q, W, thresh, S, use_pallas, R)
-            casc_ok = casc_ok & c_ok
-            # fold verdicts into the packed band: every evaluated (row, col)
-            # is written at most once across all rounds (complete-rows
-            # guarantee), so scatter-ADD of distinct single bits == OR
-            widx = pr * WW + pw // 32
-            bit = jnp.uint32(1) << (pw % 32).astype(jnp.uint32)
-            band_w = band_w.reshape(-1).at[
-                jnp.where(sup, widx, OOBW)].add(bit, mode="drop").reshape(
-                Npad, WW)
+            # chunked evaluation: gather + Pallas + band scatter run over
+            # EC-slot chunks under a while_loop whose trip count tracks the
+            # REAL pair count — capacity (ES) costs nothing when the round
+            # is sparse, only evaluated pairs cost device time
+            def chunk_body(s):
+                ci, band_c, cok, nev = s
+                selc = jax.lax.dynamic_slice_in_dim(sel_all, ci * EC, EC)
+                ok_e = selc < BITD
+                sel_c = jnp.where(ok_e, selc, 0)
+                word_flat = jnp.take(wsel, sel_c // 32)       # RS*WW domain
+                rsel = word_flat // WW                        # row slot
+                pr = jnp.take(rows, rsel)                     # suppressor row
+                pw = (word_flat % WW) * 32 + sel_c % 32       # band column
+                slot_ok = ok_e & jnp.take(row_done, rsel)
+                sup, c_ok = _eval_pairs(lay["F_pad"], pr, pw, slot_ok,
+                                        pad, Q, W, thresh, S, use_pallas, R)
+                # fold verdicts into the packed transposed band: every
+                # evaluated (row, col) is written at most once across all
+                # rounds (complete-rows guarantee), so scatter-ADD of
+                # distinct single bits == OR
+                widx = (pw // 32) * Npad + pr
+                bit = jnp.uint32(1) << (pw % 32).astype(jnp.uint32)
+                band_c = band_c.reshape(-1).at[
+                    jnp.where(sup, widx, OOBW)].add(
+                    bit, mode="drop").reshape(WW, Npad)
+                return (ci + 1, band_c, cok & c_ok,
+                        nev + jnp.sum(slot_ok.astype(jnp.int32)))
+
+            def chunk_cond(s):
+                ci = s[0]
+                return (ci * EC < n_sel) & (ci < NCH)
+
+            _, band_w, casc_ok, n_eval = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.int32(0), band_w, casc_ok, n_eval))
             resolved = resolved.at[rows].max(row_done)
-            n_eval = n_eval + jnp.sum(slot_ok.astype(jnp.int32))
             new_bands.append(band_w)
             new_res.append(resolved)
 
         keep, n_it = fixpoint(new_bands, keep)
         more = jnp.bool_(False)
-        for lay, resolved in zip(L, new_res):
-            more = more | jnp.any(needed_mask(keep, lay, resolved))
+        for li, (lay, resolved) in enumerate(zip(L, new_res)):
+            more = more | jnp.any(needed_mask(keep, li, lay, resolved))
         return (t + 1, keep, more, casc_ok, n_eval, n_it_t + n_it,
                 tuple(new_bands), tuple(new_res))
 
@@ -600,18 +643,19 @@ def _nms2d_v2(dist, points, rank, n_real, thresh,
         t, keep, more, casc_ok = c[0], c[1], c[2], c[3]
         return more & casc_ok & (t < RMAX)
 
-    keep0, n_it0 = fixpoint(bands0, valid)
+    keep0, n_it0 = fixpoint(bands0, valid_s0)
     more0 = jnp.bool_(False)
     res0 = tuple(jnp.zeros(Npad, bool) for _ in L)
-    for lay, resolved in zip(L, res0):
-        more0 = more0 | jnp.any(needed_mask(keep0, lay, resolved))
+    for li, (lay, resolved) in enumerate(zip(L, res0)):
+        more0 = more0 | jnp.any(needed_mask(keep0, li, lay, resolved))
 
-    t, keep, more, casc_ok, n_eval, n_it_t, bands, resolveds = \
+    t, keep_s0, more, casc_ok, n_eval, n_it_t, bands, resolveds = \
         jax.lax.while_loop(
             round_cond, round_body,
             (jnp.int32(0), keep0, more0, jnp.bool_(True), jnp.int32(0),
              n_it0, tuple(bands0), res0))
 
+    keep = jnp.take(keep_s0, L[0]["inv"])   # back to base (input) order
     flags = (band_ok, ~more & casc_ok)
     stats = (max_amb, n_pairs_t, n_eval, t, n_it_t)
     return keep, flags, stats

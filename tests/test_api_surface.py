@@ -149,6 +149,7 @@ def test_cli_predict2d(tmp_path, monkeypatch):
     assert (tmp_path / "out" / "input.labels.tif").exists()
 
 
+@pytest.mark.slow
 def test_optimize_thresholds(tmp_path):
     from stardist_tpu.models import Config2D, StarDist2D
 

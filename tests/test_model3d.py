@@ -60,6 +60,7 @@ def test_train_and_predict(tmp_path):
     assert np.array_equal(labels, labels2)
 
 
+@pytest.mark.slow
 def test_resnet_backbone(tmp_path):
     imgs, lbls = _data(1)
     cfg = Config3D(rays=Rays_GoldenSpiral(8), grid=(1, 2, 2), backbone="resnet",
@@ -82,6 +83,7 @@ def test_dense_vs_sparse(tmp_path):
     assert np.array_equal(labels_s, labels_d)
 
 
+@pytest.mark.slow
 def test_device_predict_matches_host_3d(tmp_path):
     """predict_instances_device (single fused dispatch: forward + extract +
     banded polyhedron NMS + raster on device) must reproduce the
@@ -103,6 +105,7 @@ def test_device_predict_matches_host_3d(tmp_path):
     np.testing.assert_array_equal(labels, ref_labels)
 
 
+@pytest.mark.slow
 def test_device_predict_capacity_retries_3d(tmp_path):
     """Tiny starting capacities: the flag-checked retry cascade must converge
     to the same result."""

@@ -76,6 +76,7 @@ def test_shape_completion_training(tmp_path):
                 epochs=1, steps_per_epoch=2)
 
 
+@pytest.mark.slow
 def test_scale_prediction(tmp_path):
     imgs, lbls = _data2d(2, shape=(128, 128))
     cfg = Config2D(n_rays=16, grid=(2, 2), unet_n_depth=2, unet_n_filter_base=8,
@@ -131,3 +132,31 @@ def test_predict_big_3d(tmp_path):
     if ref_labels.max() > 0:
         m = matching(ref_labels, res_labels, thresh=0.9)
         assert m.accuracy > 0.9
+
+
+def test_tensorboard_image_panels(tmp_path):
+    """train_tensorboard logs per-epoch IMAGE panels (input, prob true/pred,
+    dist ray slices) alongside scalars — the reference wires
+    CARETensorBoardImage for the same purpose (reference
+    stardist/models/model2d.py:452-472)."""
+    import glob
+    import os
+    img, lbl = synthetic_nuclei_2d((64, 64), seed=1)
+    cfg = Config2D(n_rays=8, grid=(2, 2), unet_n_depth=1, unet_n_filter_base=4,
+                   net_conv_after_unet=8, train_patch_size=(32, 32),
+                   train_batch_size=1, train_tensorboard=True,
+                   train_reduce_lr=None)
+    model = StarDist2D(cfg, name="tb", basedir=str(tmp_path))
+    model.train([img], [lbl], validation_data=([img], [lbl]),
+                seed=0, epochs=1, steps_per_epoch=1)
+    evs = glob.glob(os.path.join(str(tmp_path), "tb", "logs", "**",
+                                 "events.*"), recursive=True)
+    assert evs, "no TensorBoard event files written"
+    from tensorboard.backend.event_processing.event_accumulator import \
+        EventAccumulator
+    ea = EventAccumulator(os.path.dirname(evs[0]))
+    ea.Reload()
+    tags = ea.Tags()
+    assert any(t.startswith("prob/pred") for t in tags.get("images", []))
+    assert any(t.startswith("dist/pred") for t in tags.get("images", []))
+    assert "loss" in tags.get("scalars", [])

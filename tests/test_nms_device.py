@@ -21,6 +21,7 @@ def test_device_nms_equals_blocked(n, thresh):
     assert np.array_equal(a, b), (a.sum(), b.sum(), np.flatnonzero(a != b)[:10])
 
 
+@pytest.mark.slow
 def test_device_nms_overflow_retry():
     # dense cluster: everything ambiguous/overlapping -> exercises the
     # A_max overflow retry
@@ -37,6 +38,7 @@ def test_device_nms_thresh_zero():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_bounds_paths_equal_exact_dense_with_containment():
     # Regression: the arccos-free box upper bound formerly used the
     # radical-line chord as the lens height, which is invalid when one disc
@@ -107,6 +109,7 @@ def test_banded_nms_uniform_field_equals_blocked():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_peel_preserves_greedy_exactness():
     """Candidate peeling (definite survivors + lb-suppressed removal) must
     leave the greedy result bit-identical — it only removes candidates whose
@@ -146,6 +149,7 @@ def test_onepass_nms_equals_blocked(n, thresh):
     assert LAST_NMS_COUNTERS["n_peel_suppressed"] > 0
 
 
+@pytest.mark.slow
 def test_onepass_nms_dense_field_retries_capacities():
     """A poorly-peeling uniform-random field forces the remainder-capacity
     (fits) retry ladder; the result must still be exact."""
@@ -180,6 +184,7 @@ def test_banded_nms_horizontal_strip_uses_wide_axis():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_banded_nms_tight_cluster_falls_back():
     # candidates concentrated in a region smaller than the interaction
     # radius in BOTH axes: the band covers everything and the banded driver
@@ -267,6 +272,7 @@ def test_device_nms_3d_equals_host(n, thresh):
 
 
 @pytest.mark.parametrize("n,thresh,q", [(400, 0.3, 32), (1200, 0.4, 64)])
+@pytest.mark.slow
 def test_banded_nms_3d_equals_host(n, thresh, q):
     from stardist_tpu.ops.nms import nms_polyhedra, _nms_polyhedra_device_banded
     from stardist_tpu.rays3d import Rays_GoldenSpiral

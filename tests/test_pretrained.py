@@ -60,6 +60,7 @@ def test_golden_2d(model2d):
     assert (m.tp, m.fp, m.fn) == (109, 9, 16)
 
 
+@pytest.mark.slow
 def test_golden_3d(model3d):
     img, lbl = _real_3d()
     labels, details = model3d.predict_instances(img)
@@ -91,6 +92,7 @@ def test_dense_sparse_same_on_pretrained(model2d):
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_big_equals_monolithic_pretrained(model2d):
     img, _ = _real_2d()
     ref, _ = model2d.predict_instances(img)

@@ -178,6 +178,7 @@ def test_star_dist3d_vs_reference(ref3d, grid):
 
 
 @pytest.mark.parametrize("seed,thresh", [(0, 0.3), (1, 0.4)])
+@pytest.mark.slow
 def test_nms3d_decisions_vs_reference(ref3d, seed, thresh):
     from stardist_tpu.ops.nms import nms_polyhedra
     from stardist_tpu.rays3d import Rays_GoldenSpiral
