@@ -45,8 +45,9 @@ def main():
         jax.device_get(y[:1, :1, :1])
         # the axon tunnel costs ~28 ms per blocking dispatch round trip:
         # issue REPS async dispatches back-to-back and sync once, so the
-        # RTT is paid once, not per iteration
-        REPS = 5
+        # RTT is paid once, not per iteration (REPS=40 leaves <1 ms of it
+        # in each per-layer number)
+        REPS = 40
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -1087,7 +1087,9 @@ class StarDistBase:
         return self.net
 
     def set_inference_precision(self, dtype):
-        """dtype: None (float32) or 'bfloat16'."""
+        """dtype: None or 'float32' (full precision) or 'bfloat16'."""
+        if dtype == "float32":
+            dtype = None
         assert dtype in (None, "bfloat16")
         self.inference_dtype = dtype
         # jitted closures capture the net; clear caches

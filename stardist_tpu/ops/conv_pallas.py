@@ -164,6 +164,141 @@ def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, win2, ring, sem, *, C, Cout, S,
     jax.lax.fori_loop(1, (S + 2) // 3, make_group(False), 0)
 
 
+def _pick_tiles_v2(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
+    """(S, WT) for the tap-stacked kernel: one (3C, WT) rhs buffer and a
+    3-slot (Cout, WT) f32 accumulator ring instead of the 3-row shift ring."""
+    for WT in (4096, 2048, 1024, 512, 256, 128):
+        if WT > _lane_pad(W):
+            continue
+        for S in (16, 10, 7):
+            win = (S + 2) * C * (WT + 128) * 2
+            rhs = 3 * C * WT * 2
+            acc = 3 * Cout * WT * 4
+            out = S * Cout * WT * 2 * 2
+            if win * 2 + rhs + acc + out <= vmem_budget:
+                return S, WT
+    return 7, 128
+
+
+def _conv_kernel_v2(x_hbm, w_ref, b_ref, o_ref, win2, rhs, acc, sem, *, C,
+                    Cout, S, WT, act):
+    """Tap-stacked variant for 3*Cout <= 128: the three dy-tap weight blocks
+    are stacked in the matmul's M dimension, so each INPUT row costs ONE
+    (3*Cout, 3C) @ (3C, WT) matmul instead of three (Cout, 3C) matmuls —
+    3x fewer M-passes through the 128-row MXU, raising the structural
+    ceiling for the Cout<=42 layers that dominate the StarDist topology
+    (e.g. Cout=32, C=32: M-util 96/128 vs 32/128).
+
+    Contribution map: input row q's tap dy lands in output row q - dy.
+    acc is a 3-slot (Cout, WT) f32 ring: out row r lives in slot r % 3,
+    receives its dy=0 slice as an OVERWRITE at q = r (so slots never need
+    zeroing), its dy=1,2 slices as adds at q = r+1, r+2, and finalizes
+    (bias + activation + store) right after the dy=2 add.
+
+    w_ref: (3*Cout, 3C) — dy-major stack of (Cout, (dx, c)) blocks.
+    rhs:   (3C, WT) scratch — row q's three dx-shifted lane views.
+    acc:   (3, Cout, WT) f32 scratch ring.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gi = pl.num_programs(0)
+    gj = pl.num_programs(1)
+    t = i * gj + j
+    slot = jax.lax.rem(t, 2)
+
+    def dma(sl, ii, jj):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ii * S, S + 2), :, pl.ds(jj * WT, WT + 128)],
+            win2.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        dma(slot, i, j).start()
+
+    nj = j + 1
+    ni = jnp.where(nj == gj, i + 1, i)
+    njw = jnp.where(nj == gj, 0, nj)
+    last = (i == gi - 1) & (j == gj - 1)
+
+    @pl.when(~last)
+    def _():
+        dma(1 - slot, ni, njw).start()
+
+    dma(slot, i, j).wait()
+
+    def row(q, k, first):
+        """Process input row q (k = q % 3 static); emit out row q-2."""
+        src = win2[slot, q]                              # (C, WL)
+        for dx in range(3):
+            rhs[dx * C:(dx + 1) * C, :] = src[:, dx:dx + WT]
+        Y = jax.lax.dot_general(
+            w_ref[:, :], rhs[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (3Cout, WT)
+        for dy in range(3):
+            if first and k < dy:                         # out row q-dy < 0
+                continue
+            s = (k - dy) % 3                             # out row (q-dy) % 3
+            piece = Y[dy * Cout:(dy + 1) * Cout]
+            if dy == 0:
+                acc[s] = piece                           # overwrite: no zeroing
+            else:
+                acc[s] = acc[s] + piece
+            if dy == 2:
+                y = acc[s] + b_ref[:, :]
+                if act == "relu":
+                    y = jnp.maximum(y, 0.0)
+                elif act == "elu":
+                    y = jnp.where(y > 0, y, jnp.expm1(y))
+                o_ref[q - 2] = y.astype(o_ref.dtype)
+
+    def make_group(first):
+        def group(g, _):
+            for k in range(3):
+                row(3 * g + k, k, first)
+            return 0
+        return group
+
+    make_group(True)(0, 0)
+    jax.lax.fori_loop(1, (S + 2) // 3, make_group(False), 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _conv2d_hcw_call_v2(xp, wmat3, bias, act, S, WT, out_shape,
+                        interpret=False):
+    Hp2, C, Wpad = xp.shape
+    Hp, Wp = Hp2 - 2, Wpad - 128
+    Cout = wmat3.shape[0] // 3
+    grid = (Hp // S, Wp // WT)
+    kern = functools.partial(_conv_kernel_v2, C=C, Cout=Cout, S=S, WT=WT,
+                             act=act)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Hp, Cout, Wp), jnp.bfloat16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * Cout, 3 * C), lambda i, j: (0, 0)),
+            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, Cout, WT), lambda i, j: (i, 0, j)),
+        scratch_shapes=[
+            pltpu.VMEM((2, S + 2, C, WT + 128), jnp.bfloat16),
+            pltpu.VMEM((3 * C, WT), jnp.bfloat16),
+            pltpu.VMEM((3, Cout, WT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Hp * Wp * Cout * 9 * C,
+            bytes_accessed=Hp2 * C * Wpad * 2 + Hp * Cout * Wp * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wmat3, bias)
+    return out[: out_shape[0], :, : out_shape[1]]
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _conv2d_hcw_call(xp, wmat, bias, act, S, WT, out_shape, interpret=False):
     Hp2, C, Wpad = xp.shape
@@ -394,7 +529,13 @@ def conv2d_hcw(x, w, b=None, act="relu", interpret=None):
         x = jnp.pad(x, ((0, 0), (0, Cp - C), (0, 0)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
         C = Cp
-    S, WT = _pick_tiles(C, Cout, H, W)
+    import os
+    # tap-stacked variant: same speed as v1 on v5e (the kernel is not
+    # MXU-pass-bound at these shapes — measured 3.8 ms for 32ch@4096^2
+    # either way, ~41% MFU); kept opt-in as a tuning basis
+    use_v2 = (3 * Cout <= 128 and Cout % 8 == 0
+              and os.environ.get("STARDIST_TPU_CONV_V2", "0") == "1")
+    S, WT = (_pick_tiles_v2 if use_v2 else _pick_tiles)(C, Cout, H, W)
     Hp = -(-H // S) * S
     Wp = -(-W // WT) * WT
     # zero padding serves the SAME-conv halo, the tile round-up, and the
@@ -408,4 +549,10 @@ def conv2d_hcw(x, w, b=None, act="relu", interpret=None):
             else b.astype(jnp.float32).reshape(Cout, 1))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if use_v2:
+        # dy-major tap stack (3*Cout, 3C) for the tap-stacked kernel
+        wmat3 = wmat.reshape(Cout, 3, 3 * C).transpose(1, 0, 2).reshape(
+            3 * Cout, 3 * C)
+        return _conv2d_hcw_call_v2(xp, wmat3, bias, act, S, WT, (H, W),
+                                   bool(interpret))
     return _conv2d_hcw_call(xp, wmat, bias, act, S, WT, (H, W), bool(interpret))
