@@ -429,9 +429,11 @@ def sec_train3d(ctx):
                     train_batch_size=2, train_reduce_lr=None)
     model3 = StarDist3D(cfg3, name="bench3d", basedir=None)
     t0 = time.perf_counter()
+    # long enough that the net actually DETECTS (the prior 2x20-step train
+    # left max prob ~0.3 -> every 3D predict measured an empty field)
     model3.train([img3[:32, :96, :96]], [lbl3[:32, :96, :96]],
                  validation_data=([img3[:32, :96, :96]], [lbl3[:32, :96, :96]]),
-                 seed=0, epochs=2, steps_per_epoch=20)
+                 seed=0, epochs=4, steps_per_epoch=40)
     print(f"3D train: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     t0 = time.perf_counter()
     model3.train([img3[:32, :96, :96]], [lbl3[:32, :96, :96]],
@@ -506,7 +508,7 @@ def main():
     # in-kernel; a stale seed costs one retry, a fresh ladder costs minutes)
     ctx.caps2d = dict(K=1 << 18, M=16384, W=48, NB=1, ES=1 << 19, RS=16384,
                       RMAX=24)
-    ctx.caps3d = dict(K=1 << 15, M=4096, W=32)
+    ctx.caps3d = dict(K=1 << 15, M=4096, W=32, NB=8, A=128, P=8192)
 
     for name, est, fn, needs in SECTIONS:
         if any(n not in ctx for n in needs):

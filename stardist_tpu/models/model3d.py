@@ -565,6 +565,12 @@ class StarDist3D(StarDistBase):
             n_surv, n_above, dmax = int(n_surv), int(n_above), float(dmax)
             band_ok, amb_ok, pairs_ok, fits_surv, w_ok = (bool(f) for f in flags)
             max_amb, max_pairs = (int(s) for s in stats)
+            if verbose:
+                print(f"device predict 3D ladder: K={K} M={M} W={Wwin} "
+                      f"NB={NB} A={A} P={P} -> n_above={n_above} "
+                      f"n_surv={n_surv} dmax={dmax:.1f} band={band_ok} "
+                      f"amb={amb_ok}/{max_amb} pairs={pairs_ok}/{max_pairs} "
+                      f"fits={fits_surv} w={w_ok}", flush=True)
             retried = False
             if n_above > K:
                 if K >= out_size:

@@ -1690,12 +1690,20 @@ def _greedy_nms_3d_device(dist, points, ray_dirs, faces, valid, established,
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
 def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
-                          established, thresh, Q, NB, A_max, P, S):
+                          established, thresh, Q, NB, A_max, P, S,
+                          n_valid=None):
     """3D analog of `_greedy_nms_2d_banded`: candidates pre-sorted along one
     spatial axis; all undecided pairs of a Q-row block live in a window of
     (2*NB+1)*Q consecutive columns. Bounds + lattice-counted exact overlap
     as in `_greedy_nms_3d_device`; greedy resolved by the band Jacobi
-    fixpoint."""
+    fixpoint.
+
+    ``n_valid`` (traced, optional): when the valid candidates form a sorted
+    PREFIX (invalid slots sort last — both callers guarantee this), only
+    ceil(n_valid/Q) row blocks can source pairs, so the block loop's trip
+    count tracks the real candidate count instead of the slot capacity
+    (each block costs ~90 ms on v5e at P=4096: full-capacity sweeps of an
+    empty field used to pay all of it)."""
     N, R = dist.shape
     n_blocks = N // Q
     W = (2 * NB + 1) * Q
@@ -1758,42 +1766,67 @@ def _greedy_nms_3d_banded(dist, points, ray_dirs, faces, rank, valid,
         max_amb = jnp.maximum(max_amb, amb_b)
         max_pairs = jnp.maximum(max_pairs, pairs_b)
 
-        # exact lattice-counted overlap on the P compacted pairs
-        p_rp = p_r[pr]
-        lo_rp, hi_rp, v_rp = lo_r[pr], hi_r[pr], v_r[pr]
-        inv_rp, vf_rp = inv_r[pr], vf_r[pr]
-        p_cp = p_c[pc]
-        lo_cp, hi_cp, v_cp = lo_c[pc], hi_c[pc], v_c[pc]
-        inv_cp, vf_cp = inv_c[pc], vf_c[pc]
+        # exact lattice-counted overlap on the compacted pairs, evaluated in
+        # EC3-slot chunks under a while_loop whose trip count tracks the
+        # REAL pair count — the face-inverse gathers and S^3-sample inside
+        # tests are the block's dominant cost (~90 ms at P=4096 on v5e) and
+        # must not be paid for empty capacity slots
+        EC3 = min(P, 512)
+        while P % EC3:
+            EC3 //= 2
+        NCH3 = P // EC3
+        n_pairs_blk = jnp.minimum(pairs_b, jnp.int32(P))
 
-        plo = jnp.ceil(jnp.maximum(lo_rp, lo_cp))                # (P, 3)
-        phi = jnp.floor(jnp.minimum(hi_rp, hi_cp))
-        n_vox = jnp.maximum(phi - plo + 1, 0.0)
-        stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)
-        pos = plo[:, :, None] + stride[:, :, None] * ar          # (P, 3, S)
-        ok = pos <= phi[:, :, None]
-        qz = pos[:, 0, :][:, :, None, None]
-        qy = pos[:, 1, :][:, None, :, None]
-        qx = pos[:, 2, :][:, None, None, :]
-        q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx), axis=-1).reshape(P, S ** 3, 3)
-        m = (ok[:, 0, :][:, :, None, None]
-             & ok[:, 1, :][:, None, :, None]
-             & ok[:, 2, :][:, None, None, :]).reshape(P, S ** 3)
-        in_r = points_in_polyhedra(inv_rp, vf_rp, p_rp, q)
-        in_c = points_in_polyhedra(inv_cp, vf_cp, p_cp, q)
-        weight = stride[:, 0] * stride[:, 1] * stride[:, 2]
-        count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
-        exact_sup = count * weight / (jnp.minimum(v_rp, v_cp) + 1e-10) > thresh
+        def pair_chunk(s):
+            ci, sup_c = s
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * EC3, EC3, 0)
+            prc, pcc, pvc = sl(pr), sl(pc), sl(pair_valid)
+            p_rp = p_r[prc]
+            lo_rp, hi_rp, v_rp = lo_r[prc], hi_r[prc], v_r[prc]
+            inv_rp, vf_rp = inv_r[prc], vf_r[prc]
+            p_cp = p_c[pcc]
+            lo_cp, hi_cp, v_cp = lo_c[pcc], hi_c[pcc], v_c[pcc]
+            inv_cp, vf_cp = inv_c[pcc], vf_c[pcc]
 
-        sup_blk = sup_blk.at[pr, pc].max(exact_sup & pair_valid)
+            plo = jnp.ceil(jnp.maximum(lo_rp, lo_cp))            # (EC3, 3)
+            phi = jnp.floor(jnp.minimum(hi_rp, hi_cp))
+            n_vox = jnp.maximum(phi - plo + 1, 0.0)
+            stride = jnp.maximum(jnp.ceil(n_vox / S), 1.0)
+            pos = plo[:, :, None] + stride[:, :, None] * ar      # (EC3, 3, S)
+            ok = pos <= phi[:, :, None]
+            qz = pos[:, 0, :][:, :, None, None]
+            qy = pos[:, 1, :][:, None, :, None]
+            qx = pos[:, 2, :][:, None, None, :]
+            q = jnp.stack(jnp.broadcast_arrays(qz, qy, qx),
+                          axis=-1).reshape(EC3, S ** 3, 3)
+            m = (ok[:, 0, :][:, :, None, None]
+                 & ok[:, 1, :][:, None, :, None]
+                 & ok[:, 2, :][:, None, None, :]).reshape(EC3, S ** 3)
+            in_r = points_in_polyhedra(inv_rp, vf_rp, p_rp, q)
+            in_c = points_in_polyhedra(inv_cp, vf_cp, p_cp, q)
+            weight = stride[:, 0] * stride[:, 1] * stride[:, 2]
+            count = jnp.sum(in_r & in_c & m, axis=-1).astype(jnp.float32)
+            exact_sup = (count * weight
+                         / (jnp.minimum(v_rp, v_cp) + 1e-10)) > thresh
+            sup_c = sup_c.at[prc, pcc].max(exact_sup & pvc)
+            return ci + 1, sup_c
+
+        _, sup_blk = jax.lax.while_loop(
+            lambda s: (s[0] * EC3 < n_pairs_blk) & (s[0] < NCH3),
+            pair_chunk, (jnp.int32(0), sup_blk))
         sup_blk = sup_blk & pair_ok
         sup_acc = jax.lax.dynamic_update_slice(
             sup_acc, sup_blk.astype(jnp.bfloat16)[None], (b, 0, 0))
         return sup_acc, max_amb, max_pairs
 
     sup0 = jnp.zeros((n_blocks, Q, W), jnp.bfloat16)
+    if n_valid is None:
+        n_blocks_used = n_blocks
+    else:
+        n_blocks_used = jnp.minimum(
+            (n_valid.astype(jnp.int32) + (Q - 1)) // Q, jnp.int32(n_blocks))
     sup, max_amb, max_pairs = jax.lax.fori_loop(
-        0, n_blocks, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
+        0, n_blocks_used, block_fill, (sup0, jnp.int32(0), jnp.int32(0)))
 
     def cond(c):
         t, keep, changed = c
@@ -1848,7 +1881,8 @@ def _nms_polyhedra_device_banded(dist, points, rays, thresh, samples=10,
     suppressed = _compaction_retry(
         lambda A_p, P_p: jax.device_get(_greedy_nms_3d_banded(
             dj, pj, ray_dirs, faces, rj, valid, jnp.int32(established),
-            float(thresh), Q, NB, A_p, P_p, samples)),
+            float(thresh), Q, NB, A_p, P_p, samples,
+            n_valid=jnp.int32(N))),
         amb_max, pair_slots, amb_cap, W, lambda A_p: Q * A_p,
         32, 512, verbose, "banded 3D")
     if suppressed is None:
@@ -1955,10 +1989,16 @@ def _nms3d_banded_traced(dist, points, ray_dirs, faces, n_real, thresh,
     l_idx = (bi - NB) * Q - 1
     lv = jnp.where(l_idx >= 0, jnp.take(s, jnp.maximum(l_idx, 0)),
                    jnp.float32(-jnp.inf))
-    band_ok = jnp.all(rv > hi_b + T) & jnp.all(lv < lo_b - T)
+    # all-invalid blocks (lo_b/hi_b non-finite — e.g. an empty candidate
+    # field) interact with nothing and need no coverage; without this guard
+    # an empty field fails band_ok forever and the retry ladder walks every
+    # NB rung before falling back to the host path on EVERY call
+    r_ok = ~jnp.isfinite(hi_b) | (rv > hi_b + T)
+    l_ok = ~jnp.isfinite(lo_b) | (lv < lo_b - T)
+    band_ok = jnp.all(r_ok) & jnp.all(l_ok)
     suppressed, max_amb, max_pairs = _greedy_nms_3d_banded(
         d_s, p_s, ray_dirs, faces, rank_s, valid_s, jnp.int32(0), thresh,
-        Q, NB, A_max, P, S)
+        Q, NB, A_max, P, S, n_valid=n_real)
     keep_s = ~suppressed & valid_s
     keep = jnp.zeros(Npad, bool).at[perm].set(keep_s)
     flags = (band_ok, max_amb <= A_max, max_pairs <= P)

@@ -295,3 +295,25 @@ def test_banded_nms_3d_equals_host(n, thresh, q):
                                      Q=q)
     assert b is not None
     assert np.array_equal(a, b), (a.sum(), b.sum(), np.flatnonzero(a != b)[:10])
+
+
+def test_banded_nms_3d_traced_empty_field_band_ok():
+    """An all-invalid candidate field must report band_ok=True: before the
+    round-5 fix, empty blocks (lo/hi = +-inf) failed the window check, so
+    the fused 3D device path walked its whole NB retry ladder and fell back
+    to the host on EVERY call for images with no detections."""
+    import jax.numpy as jnp
+    from stardist_tpu.ops.nms import _nms3d_banded_traced
+    from stardist_tpu.rays3d import Rays_GoldenSpiral
+
+    rays = Rays_GoldenSpiral(16)
+    Npad, R = 512, 16
+    dist = jnp.full((Npad, R), 1e-3, jnp.float32)
+    points = jnp.full((Npad, 3), 1e9, jnp.float32)
+    keep, flags, stats = _nms3d_banded_traced(
+        dist, points, jnp.asarray(rays.vertices, jnp.float32),
+        jnp.asarray(rays.faces, jnp.int32), jnp.int32(0), jnp.float32(0.4),
+        (1, 1, 1), 0, 256, 1, 32, 64, 10)
+    band_ok, amb_ok, pairs_ok = (bool(f) for f in flags)
+    assert band_ok and amb_ok and pairs_ok
+    assert not bool(np.asarray(keep).any())
