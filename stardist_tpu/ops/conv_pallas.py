@@ -50,9 +50,13 @@ def _pick_tiles(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
     WT 512 -> 17.8 ms, WT 4096 -> 9.5 ms serial; the ring keeps WT = 4096
     feasible where a full (S+2, 3C, WT) shift buffer would not fit)."""
     # S + 2 must be a multiple of 3: the row loop runs in 3-row groups so
-    # every ring index is a compile-time constant (see _conv_kernel)
-    for WT in (4096, 2048, 1024, 512, 256, 128):
-        if WT > _lane_pad(W):
+    # every ring index is a compile-time constant (see _conv_kernel).
+    # WT floor is 256: Mosaic miscompiles the width-128 lane reads at the
+    # kernels' unaligned dx offsets (verified on v5e — wrong values for
+    # every W=128 config, correct for every W>=256), so 128-wide images
+    # run on a half-padded 256 tile instead.
+    for WT in (4096, 2048, 1024, 512, 256):
+        if WT > max(_lane_pad(W), 256):
             continue
         for S in (16, 10, 7):
             win = (S + 2) * C * (WT + 128) * 2
@@ -60,7 +64,7 @@ def _pick_tiles(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
             out = S * Cout * WT * 2 * 2
             if win * 2 + ring + out <= vmem_budget:
                 return S, WT
-    return 7, 128
+    return 7, 256
 
 
 def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, win2, ring, sem, *, C, Cout, S,
@@ -166,9 +170,10 @@ def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, win2, ring, sem, *, C, Cout, S,
 
 def _pick_tiles_v2(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
     """(S, WT) for the tap-stacked kernel: one (3C, WT) rhs buffer and a
-    3-slot (Cout, WT) f32 accumulator ring instead of the 3-row shift ring."""
-    for WT in (4096, 2048, 1024, 512, 256, 128):
-        if WT > _lane_pad(W):
+    3-slot (Cout, WT) f32 accumulator ring instead of the 3-row shift ring.
+    WT floor 256 — see _pick_tiles (width-128 unaligned-read miscompile)."""
+    for WT in (4096, 2048, 1024, 512, 256):
+        if WT > max(_lane_pad(W), 256):
             continue
         for S in (16, 10, 7):
             win = (S + 2) * C * (WT + 128) * 2
@@ -177,7 +182,7 @@ def _pick_tiles_v2(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
             out = S * Cout * WT * 2 * 2
             if win * 2 + rhs + acc + out <= vmem_budget:
                 return S, WT
-    return 7, 128
+    return 7, 256
 
 
 def _conv_kernel_v2(x_hbm, w_ref, b_ref, o_ref, win2, rhs, acc, sem, *, C,
@@ -331,13 +336,231 @@ def _conv2d_hcw_call(xp, wmat, bias, act, S, WT, out_shape, interpret=False):
     return out[: out_shape[0], :, : out_shape[1]]
 
 
+def _pick_s_v3(C, Cout, H, W, stacked, vmem_budget=64 * 1024 * 1024):
+    """Row-block size S for the halo-in-kernel v3 kernel (whole-width tiles,
+    WT = W). S must divide H (no output slice) with S + 2 divisible by 3
+    (3-row-group pipeline). Returns None when no candidate fits — caller
+    falls back to the padded-input kernels."""
+    if W % 128 or W < 256:
+        # whole-row DMA wants a lane-aligned width; W == 128 is excluded
+        # because Mosaic miscompiles the width-128 lane reads at the
+        # unaligned (127/129) shift offsets this kernel uses (verified on
+        # v5e: every W=128 config wrong, every W>=256 config correct) —
+        # those shapes take the padded-input kernels instead
+        return None
+    for S in (16, 64, 4):
+        if H % S or H < 2 * S or (S + 2) % 3:
+            continue
+        win = 2 * (S + 2) * C * (W + 256) * 2
+        if stacked:
+            work = 3 * C * W * 2 + 3 * Cout * W * 4
+        else:
+            work = 3 * 3 * C * W * 2
+        out = 2 * S * Cout * W * 2
+        if win + work + out <= vmem_budget:
+            return S
+    return None
+
+
+def _dma_v3(x_hbm, win2, sem, sl, ii, gi, S, W):
+    """Start/wait descriptors for the halo window of row block ``ii`` from
+    an UNPADDED (H, C, W) input: rows [ii*S - 1, ii*S + S + 1) clamped to
+    the array; the missing first/last halo row is zeroed by the caller.
+    The destination lane range is [128, 128 + W) of the (.., C, W + 256)
+    window — a 128-aligned DMA offset, leaving zeroed flank columns that
+    serve as the W-dim halo (so every VMEM store in the kernel stays full
+    width and lane-aligned; Mosaic miscompiles were observed with per-row
+    sub-lane-offset partial stores). Returns a list of (cond, copy) pairs —
+    the caller wraps each in ``pl.when`` for both .start() and .wait() so
+    they pair exactly."""
+    first = ii == 0
+    lastb = ii == gi - 1
+    interior = ~first & ~lastb
+    lanes = pl.ds(128, W)
+    return [
+        (interior, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ii * S - 1, S + 2)],
+            win2.at[sl, slice(None), slice(None), lanes], sem.at[sl])),
+        (first, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, S + 1)],
+            win2.at[sl, pl.ds(1, S + 1), slice(None), lanes], sem.at[sl])),
+        (lastb, pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ii * S - 1, S + 1)],
+            win2.at[sl, pl.ds(0, S + 1), slice(None), lanes], sem.at[sl])),
+    ]
+
+
+def _conv_kernel_v3(x_hbm, w_ref, b_ref, o_ref, win2, rhs, acc, sem, *, C,
+                    Cout, S, W, act, stacked):
+    """Halo-in-kernel variant: the input arrives UNPADDED (H, C, W) in HBM
+    and whole rows are processed at once (WT = W, single-column grid), so
+    the wrapper performs NO pad and NO output slice — each of those is a
+    full HBM round trip (~3.3 ms each for a 1 GB activation on v5e) that
+    the padded-input kernels pay per layer.
+
+    Halo: the row window [i*S-1, i*S+S+1) is DMA'd with three statically
+    shaped variants (interior / first / last block) and the missing border
+    row is zeroed in VMEM. The W-dim halo comes from the window's zeroed
+    flank columns (DMA lands at lane offset 128 of a W+256-wide window;
+    the flanks are zeroed ONCE at the first grid step and never written
+    again), so the per-row dx-shift copies are full-width stores from
+    shifted window reads — the exact access pattern of the padded-input
+    kernels, which Mosaic compiles correctly (sub-lane-offset partial
+    STORES, the previous design, miscompiled).
+
+    stacked=True: tap-stacked matmul per INPUT row ((3Cout, 3C) @ (3C, W))
+    with a 3-slot f32 accumulator ring (see _conv_kernel_v2). Requires
+    3*Cout <= 128. stacked=False: 3-slot rhs ring + 3 matmuls per OUTPUT
+    row (see _conv_kernel), for Cout > 42.
+    """
+    i = pl.program_id(0)
+    gi = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        # zero the flank lane ranges of BOTH window slots once; DMAs only
+        # ever write lanes [128, 128+W), so the flanks stay zero for the
+        # whole grid — they provide x[:, -1] == x[:, W] == 0
+        win2[0, :, :, 0:128] = jnp.zeros((S + 2, C, 128), win2.dtype)
+        win2[0, :, :, 128 + W:] = jnp.zeros((S + 2, C, 128), win2.dtype)
+        win2[1, :, :, 0:128] = jnp.zeros((S + 2, C, 128), win2.dtype)
+        win2[1, :, :, 128 + W:] = jnp.zeros((S + 2, C, 128), win2.dtype)
+        for cond, cp in _dma_v3(x_hbm, win2, sem, slot, i, gi, S, W):
+            @pl.when(cond)
+            def _():
+                cp.start()
+
+    @pl.when(i < gi - 1)
+    def _():
+        for cond, cp in _dma_v3(x_hbm, win2, sem, 1 - slot, i + 1, gi, S, W):
+            @pl.when(cond)
+            def _():
+                cp.start()
+
+    for cond, cp in _dma_v3(x_hbm, win2, sem, slot, i, gi, S, W):
+        @pl.when(cond)
+        def _():
+            cp.wait()
+
+    @pl.when(i == 0)
+    def _():
+        win2[slot, 0, :, 128:128 + W] = jnp.zeros((C, W), win2.dtype)
+
+    @pl.when(i == gi - 1)
+    def _():
+        win2[slot, S + 1, :, 128:128 + W] = jnp.zeros((C, W), win2.dtype)
+
+    def shift_into(buf, src):
+        """dx-shifted copies into buf (3C, W) from the W+256-wide window
+        row src: out col w reads input col w + dx - 1, i.e. window lane
+        127 + dx + w (borders ride the zeroed flanks)."""
+        for dx in range(3):
+            buf[dx * C:(dx + 1) * C, :] = src[:, 127 + dx:127 + dx + W]
+
+    if stacked:
+        def row(q, k, first):
+            shift_into(rhs, win2[slot, q])
+            Y = jax.lax.dot_general(
+                w_ref[:, :], rhs[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (3Cout, W)
+            for dy in range(3):
+                if first and k < dy:
+                    continue
+                s = (k - dy) % 3
+                piece = Y[dy * Cout:(dy + 1) * Cout]
+                if dy == 0:
+                    acc[s] = piece
+                else:
+                    acc[s] = acc[s] + piece
+                if dy == 2:
+                    y = acc[s] + b_ref[:, :]
+                    if act == "relu":
+                        y = jnp.maximum(y, 0.0)
+                    elif act == "elu":
+                        y = jnp.where(y > 0, y, jnp.expm1(y))
+                    o_ref[q - 2] = y.astype(o_ref.dtype)
+    else:
+        def row(q, k, first):
+            shift_into(rhs.at[k], win2[slot, q])
+            if first and k < 2:
+                return
+            y = b_ref[:, :]
+            for d in range(3):
+                dy = (d - k - 1) % 3
+                y = y + jax.lax.dot_general(
+                    w_ref[:, dy * 3 * C:(dy * 3 * C + 3 * C)], rhs[d],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Cout, W)
+            if act == "relu":
+                y = jnp.maximum(y, 0.0)
+            elif act == "elu":
+                y = jnp.where(y > 0, y, jnp.expm1(y))
+            o_ref[q - 2] = y.astype(o_ref.dtype)
+
+    def make_group(first):
+        def group(g, _):
+            for k in range(3):
+                row(3 * g + k, k, first)
+            return 0
+        return group
+
+    make_group(True)(0, 0)
+    jax.lax.fori_loop(1, (S + 2) // 3, make_group(False), 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _conv2d_hcw_call_v3(x, wmat, bias, act, S, stacked, interpret=False):
+    H, C, W = x.shape
+    Cout = wmat.shape[0] // 3 if stacked else wmat.shape[0]
+    kern = functools.partial(_conv_kernel_v3, C=C, Cout=Cout, S=S, W=W,
+                             act=act, stacked=stacked)
+    if stacked:
+        work = [pltpu.VMEM((3 * C, W), jnp.bfloat16),
+                pltpu.VMEM((3, Cout, W), jnp.float32)]
+    else:
+        # the acc slot is unused in ring mode; Mosaic wants a real ref
+        work = [pltpu.VMEM((3, 3 * C, W), jnp.bfloat16),
+                pltpu.VMEM((8, 128), jnp.float32)]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((H, Cout, W), jnp.bfloat16),
+        grid=(H // S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(tuple(wmat.shape), lambda i: (0, 0)),
+            pl.BlockSpec((Cout, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((S, Cout, W), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, S + 2, C, W + 256), jnp.bfloat16),
+            work[0],
+            work[1],
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * Cout * 9 * C,
+            bytes_accessed=H * C * W * 2 + H * Cout * W * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the default scoped-vmem limit is 16 MiB; the whole-row window
+            # + double-buffered output block at S=16 exceed it at 4096-wide
+            # layers (v5e has 128 MiB of VMEM — 64 MiB leaves the compiler
+            # plenty for its own temporaries)
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wmat, bias)
+
+
 def _pick_tiles_3d(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
     """(S, WT) for the 3D kernel: the double-buffered halo window triples
     (3 z-planes) and the shift ring holds 9 (dz, dx) shifted views per
     slot."""
-    # S + 2 must be a multiple of 3 (3-row-group pipeline, as in 2D)
-    for WT in (2048, 1024, 512, 256, 128):
-        if WT > _lane_pad(W):
+    # S + 2 must be a multiple of 3 (3-row-group pipeline, as in 2D).
+    # WT floor 256 — see _pick_tiles (width-128 unaligned-read miscompile).
+    for WT in (2048, 1024, 512, 256):
+        if WT > max(_lane_pad(W), 256):
             continue
         for S in (16, 10, 7):
             win = 3 * (S + 2) * C * (WT + 128) * 2
@@ -345,7 +568,7 @@ def _pick_tiles_3d(C, Cout, H, W, vmem_budget=11 * 1024 * 1024):
             out = S * Cout * WT * 2 * 2
             if win * 2 + ring + out <= vmem_budget:
                 return S, WT
-    return 7, 128
+    return 7, 256
 
 
 def _conv3d_kernel(x_hbm, w_ref, b_ref, o_ref, win2, ring, sem, *, C, Cout,
@@ -530,10 +753,30 @@ def conv2d_hcw(x, w, b=None, act="relu", interpret=None):
         w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
         C = Cp
     import os
-    # tap-stacked variant: same speed as v1 on v5e (the kernel is not
-    # MXU-pass-bound at these shapes — measured 3.8 ms for 32ch@4096^2
-    # either way, ~41% MFU); kept opt-in as a tuning basis
-    use_v2 = (3 * Cout <= 128 and Cout % 8 == 0
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # v3 halo-in-kernel fast path (round 5): unpadded input, whole-row
+    # tiles, no output slice — the padded-path wrapper's pad and slice are
+    # each a full HBM round trip (~3.3 ms per 1 GB activation on v5e) that
+    # v3 skips entirely. Measured (4096^2, 32->32): 16.2 ms padded v1 ->
+    # ~3 ms v3. Opt-out: STARDIST_TPU_CONV_V3=0.
+    stacked = 3 * Cout <= 128 and Cout % 8 == 0
+    if os.environ.get("STARDIST_TPU_CONV_V3", "1") == "1":
+        S3 = _pick_s_v3(C, Cout, H, W, stacked)
+        if S3 is not None:
+            x3 = x.astype(jnp.bfloat16)
+            wmat = jnp.transpose(w.astype(jnp.bfloat16),
+                                 (3, 0, 1, 2)).reshape(Cout, 9 * C)
+            if stacked:
+                wmat = wmat.reshape(Cout, 3, 3 * C).transpose(1, 0, 2)\
+                    .reshape(3 * Cout, 3 * C)
+            bias3 = (jnp.zeros((Cout, 1), jnp.float32) if b is None
+                     else b.astype(jnp.float32).reshape(Cout, 1))
+            return _conv2d_hcw_call_v3(x3, wmat, bias3, act, S3, stacked,
+                                       bool(interpret))
+    # tap-stacked padded variant: same speed as v1 on v5e (the padded-path
+    # kernels are memory-bound, not MXU-pass-bound); kept as a tuning basis
+    use_v2 = (stacked
               and os.environ.get("STARDIST_TPU_CONV_V2", "0") == "1")
     S, WT = (_pick_tiles_v2 if use_v2 else _pick_tiles)(C, Cout, H, W)
     Hp = -(-H // S) * S
