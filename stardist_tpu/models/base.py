@@ -1033,6 +1033,14 @@ class StarDistBase:
 
     @functools.lru_cache(maxsize=None)
     def _forward_fn(self):
+        """Jitted dense forward on ONE image (batched input (1, sp..., C)).
+
+        Contract: returns CHANNEL-MAJOR, unbatched outputs —
+        ``prob (sp...)``, ``dist (R, sp...)``[, ``prob_class (ncls, sp...)``]
+        — the natural output layout of the CHW head, so the jit emits no
+        layout-conversion passes (channels-last f32 dist at 4096^2 cost
+        ~5 ms of relayout copies on v5e). Hosts convert with free numpy
+        moveaxis views (`_predict_direct_np`)."""
         net = self._inference_net()
         use_chw = self._use_chw_forward()
 
@@ -1041,16 +1049,15 @@ class StarDistBase:
             x = x.astype(jnp.float32)
             if use_chw:
                 from .unet_chw import chw_forward
-                outs = chw_forward(net, params, x[0])
-                prob = outs[0][None, ..., None]
-                dist = outs[1].reshape((1,) + outs[0].shape + (-1,))
-                if len(outs) > 2:
-                    pc = outs[2].reshape((1,) + outs[0].shape + (-1,))
-                    return prob, dist, pc
-                return prob, dist
+                return chw_forward(net, params, x[0])
             variables = dict(extra_vars)
             variables["params"] = params
-            return net.apply(variables, x, train=False)
+            outs = net.apply(variables, x, train=False)
+            nd = outs[0].ndim - 2                # spatial rank
+            to_first = (nd,) + tuple(range(nd))  # (sp..., C) -> (C, sp...)
+            res = [outs[0][0, ..., 0]]
+            res += [jnp.transpose(o[0], to_first) for o in outs[1:]]
+            return tuple(res)
 
         return forward
 
@@ -1071,10 +1078,15 @@ class StarDistBase:
         return mode == "1" or jax.default_backend() == "tpu"
 
     def _predict_direct_np(self, x):
-        """Forward pass on a single (spatial..., C) numpy array."""
+        """Forward pass on a single (spatial..., C) numpy array; returns
+        channels-LAST numpy parts (prob (sp..., 1), dist (sp..., R), ...).
+        The forward emits channel-major device arrays (no device-side
+        relayout); the conversion here is a numpy moveaxis view."""
         forward = self._forward_fn()
         outs = forward(self.params, freeze(self._extra_vars) if not isinstance(self._extra_vars, dict) else self._extra_vars, jnp.asarray(x[np.newaxis]))
-        return tuple(np.asarray(y[0]) for y in outs)
+        res = [np.asarray(outs[0])[..., np.newaxis]]
+        res += [np.moveaxis(np.asarray(y), 0, -1) for y in outs[1:]]
+        return tuple(res)
 
     def _inference_net(self):
         """Network instance used for inference; convolutions run in bfloat16
@@ -1117,7 +1129,8 @@ class StarDistBase:
                 from .unet_chw import chw_forward
                 outs = chw_forward(net, params, x[0])
                 prob = outs[0]                 # (sp...)
-                dist = outs[1].reshape(prob.shape + (-1,))  # free: row-major
+                dist = None                    # channel-major; gathered below
+                dist_t = outs[1].reshape(outs[1].shape[0], -1)  # (R, n_pix)
             else:
                 variables = dict(extra_vars)
                 variables["params"] = params
@@ -1136,7 +1149,10 @@ class StarDistBase:
             score = jnp.where(mask, prob, -1.0)
             vals, flat_idx = jax.lax.top_k(score.ravel(), K)
             points = jnp.stack(jnp.unravel_index(flat_idx, shape), axis=1)  # (K, n_dim)
-            d = dist.reshape(-1, dist.shape[-1])[flat_idx]
+            if use_chw:
+                d = jnp.take(dist_t, flat_idx, axis=1).T       # (K, R)
+            else:
+                d = dist.reshape(-1, dist.shape[-1])[flat_idx]
             d = jnp.maximum(d, 1e-3)
             valid = vals > -1.0
             n_above = jnp.sum(mask)
@@ -1144,8 +1160,12 @@ class StarDistBase:
             # separate device sync later)
             dmax = jnp.max(jnp.where(valid[:, None], d, 0.0))
             if multiclass:
-                pc_full = outs[2] if use_chw else outs[2][0]
-                pc = pc_full.reshape(-1, pc_full.shape[-1])[flat_idx]
+                if use_chw:
+                    pc_t = outs[2].reshape(outs[2].shape[0], -1)
+                    pc = jnp.take(pc_t, flat_idx, axis=1).T
+                else:
+                    pc_full = outs[2][0]
+                    pc = pc_full.reshape(-1, pc_full.shape[-1])[flat_idx]
                 return vals, d, points, valid, n_above, dmax, pc
             return vals, d, points, valid, n_above, dmax
 
@@ -1696,8 +1716,8 @@ class StarDistBase:
         z = np.zeros_like(x)
         x[(0,) + mid + (slice(None),)] = 1
         forward = self._forward_fn()
-        y = np.asarray(forward(self.params, self._extra_vars, jnp.asarray(x))[0])[0, ..., 0]
-        y0 = np.asarray(forward(self.params, self._extra_vars, jnp.asarray(z))[0])[0, ..., 0]
+        y = np.asarray(forward(self.params, self._extra_vars, jnp.asarray(x))[0])
+        y0 = np.asarray(forward(self.params, self._extra_vars, jnp.asarray(z))[0])
         grid = tuple((np.array(x.shape[1:-1]) / np.array(y.shape)).astype(int))
         assert grid == tuple(self.config.grid)
         y = zoom(y, grid, order=0)

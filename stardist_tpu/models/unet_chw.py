@@ -8,11 +8,14 @@ this architecture on TPU. Consumes the SAME Flax parameter pytree — module
 names are generated in call order, so this function mirrors the exact call
 sequence of ``StarDistNet``/``UNetBackbone``.
 
-Returns ``prob`` as (H', W') float32 and ``dist`` as (H'*W', R) float32 —
-the dist head is computed as ``dot_general(feat, k)`` contracting the channel
-dim, so the output is born row-major in (pixel, ray) layout: the sparse
-extraction path gathers candidate rows from it with no transpose, and
-``reshape(H', W', R)`` recovers the dense NHWC layout for free.
+Returns ``prob`` as (H', W') float32 and ``dist`` as (R, H', W') float32 —
+the head is computed as ``dot_general(k.T, feat)`` contracting the channel
+dim, so the output is born CHANNEL-MAJOR: each (H', W') ray plane is
+contiguous in the default layout and XLA emits NO layout-conversion copies
+(the previous (pixel, ray) head cost three full 553 MB relayout passes,
+~5 ms at 4096^2 on v5e, converting to the jit output layout). The sparse
+extraction path gathers candidate COLUMNS of the flat (R, H'*W') view; the
+dense path pays one explicit transpose.
 """
 from __future__ import annotations
 
@@ -53,23 +56,18 @@ def _conv_block(x, p, act):
 
 
 def _max_pool(x, pool):
-    """2x max-pool per spatial dim on (..., C, W) via strided slices.
+    """Max-pool per spatial dim on (..., C, W) via one reduce_window.
 
     pool: one factor per spatial dim — (py, px) for (H, C, W), (pz, py, px)
-    for (D, H, C, W). XLA's reduce_window picks a catastrophic layout for
-    (H, C, W) inputs with C >= 64 (~470 ms for (1024, 64, 1024) on v5e vs
-    ~5 ms this way); stride-2 slice+max lowers to cheap shifts/selects."""
-    # spatial axes in layout order: leading dims hold all but W; W is last
-    axes = tuple(range(len(pool) - 1)) + (x.ndim - 1,)
-    for p, ax in zip(pool, axes):
-        if p > 1:
-            assert p == 2
-            sl0 = tuple(slice(0, None, 2) if a == ax else slice(None)
-                        for a in range(x.ndim))
-            sl1 = tuple(slice(1, None, 2) if a == ax else slice(None)
-                        for a in range(x.ndim))
-            x = jnp.maximum(x[sl0], x[sl1])
-    return x
+    for (D, H, C, W). One fused reduce_window beats the previous stride-2
+    slice+max chain (the lane-dim strided slice lowers to layout-changing
+    copies: 12.1 ms vs 5.4 ms for (4096, 32, 4096) bf16 on v5e; 2.1x at
+    every level measured)."""
+    window = tuple(pool[:-1]) + (1, pool[-1])
+    if all(p == 1 for p in window):
+        return x
+    neg = jnp.asarray(-jnp.inf if x.dtype == jnp.float32 else -3e38, x.dtype)
+    return jax.lax.reduce_window(x, neg, jax.lax.max, window, window, "VALID")
 
 
 def _upsample(x, factors):
@@ -83,13 +81,18 @@ def _upsample(x, factors):
 def _head_1x1(x, p):
     """1x1 conv head as a channel-contraction matmul; x: (..., C, W) bf16.
 
-    Returns (..., W, Cout) float32 — born in (pixel, channel) order, so the
-    flat (n_pixels, Cout) view needs no transpose."""
+    Returns (Cout, ...spatial..., W) float32 — born CHANNEL-MAJOR, which is
+    already the default layout of a (Cout, spatial) result: no layout
+    conversion between the matmul and the jit output."""
     k = p["kernel"].reshape(p["kernel"].shape[-2:]).astype(x.dtype)  # (C, Cout)
     b = p["bias"].astype(jnp.float32)
-    y = jax.lax.dot_general(x, k, (((x.ndim - 2,), (0,)), ((), ())),
+    if jax.default_backend() != "tpu":
+        # XLA:CPU's DotThunk lacks BF16 x BF16 = F32 for this contraction
+        k, x = k.astype(jnp.float32), x.astype(jnp.float32)
+    y = jax.lax.dot_general(k.T, x, (((1,), (x.ndim - 2,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return y + b
+    bshape = (-1,) + (1,) * (y.ndim - 1)
+    return y + b.reshape(bshape)
 
 
 def chw_forward(net, params, x):
@@ -100,7 +103,8 @@ def chw_forward(net, params, x):
     x: (H, W, C_in) or (D, H, W, C_in) input (single image, no batch dim).
 
     Returns (prob, dist[, prob_class]): prob (H', W') / (D', H', W') f32,
-    dist (n_pixels, R) f32, prob_class (n_pixels, n_classes+1) f32.
+    dist (R, spatial...) f32, prob_class (n_classes+1, spatial...) f32 —
+    heads are CHANNEL-MAJOR (see module doc).
     """
     assert supports_chw(net)
     nd = net.n_dim
@@ -170,17 +174,16 @@ def chw_forward(net, params, x):
         "bias": jnp.concatenate([kp["bias"], kd["bias"]]),
     }
     fused["kernel"] = fused["kernel"][None, None]
-    y = _head_1x1(feat, fused)                               # (H', W', 1+R)
-    prob = jax.nn.sigmoid(y[..., 0])                         # (H', W')
-    dist = y[..., 1:].reshape(-1, y.shape[-1] - 1)           # (H'W', R)
+    y = _head_1x1(feat, fused)                               # (1+R, sp...)
+    prob = jax.nn.sigmoid(y[0])                              # (sp...)
+    dist = y[1:]                                             # (R, sp...)
 
     if net.n_classes is not None:
         if net.net_conv_after_unet > 0:
             feat_c = top_block(base, net.unet_activation)
         else:
             feat_c = base
-        pc = _head_1x1(feat_c, params["head_prob_class"])
-        pc = pc.reshape(-1, pc.shape[-1])
-        prob_class = jax.nn.softmax(pc, axis=-1)
+        pc = _head_1x1(feat_c, params["head_prob_class"])    # (ncls, sp...)
+        prob_class = jax.nn.softmax(pc, axis=0)
         return prob, dist, prob_class
     return prob, dist

@@ -69,7 +69,8 @@ def test_chw_forward_matches_flax():
     dist_ref = np.asarray(ref[1][0])
     prob, dist = chw_forward(net, m.params, jnp.asarray(x))
     prob = np.asarray(prob)
-    dist = np.asarray(dist).reshape(dist_ref.shape)
+    dist = np.moveaxis(np.asarray(dist), 0, -1)   # channel-major head
+    assert dist.shape == dist_ref.shape
     assert np.abs(prob - prob_ref).max() < 1e-3
     assert np.abs(dist - dist_ref).max() < 1e-3 * max(1.0, np.abs(dist_ref).max())
 
@@ -144,7 +145,8 @@ def test_chw_forward_3d_matches_flax():
     dist_ref = np.asarray(ref[1][0])
     prob, dist = chw_forward(net, m.params, jnp.asarray(x))
     prob = np.asarray(prob)
-    dist = np.asarray(dist).reshape(dist_ref.shape)
+    dist = np.moveaxis(np.asarray(dist), 0, -1)   # channel-major head
+    assert dist.shape == dist_ref.shape
     assert prob.shape == prob_ref.shape
     assert np.abs(prob - prob_ref).max() < 1e-3
     assert np.abs(dist - dist_ref).max() < 1e-3 * max(1.0, np.abs(dist_ref).max())
