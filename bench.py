@@ -435,11 +435,14 @@ def sec_train3d(ctx):
                  validation_data=([img3[:32, :96, :96]], [lbl3[:32, :96, :96]]),
                  seed=0, epochs=4, steps_per_epoch=40)
     print(f"3D train: {time.perf_counter() - t0:.1f} s", file=sys.stderr)
+    # 40-step window: the r04 "regression" (3.34 -> 2.50) was measurement
+    # noise — a 20-step window is ~6-8 s, of which the per-epoch validation
+    # pass and a couple of tunnel-dispatch hiccups are a big, variable slice
     t0 = time.perf_counter()
     model3.train([img3[:32, :96, :96]], [lbl3[:32, :96, :96]],
                  validation_data=([img3[:32, :96, :96]], [lbl3[:32, :96, :96]]),
-                 seed=1, epochs=1, steps_per_epoch=20)
-    emit("train3d_steps_per_s", 20 / (time.perf_counter() - t0),
+                 seed=1, epochs=1, steps_per_epoch=40)
+    emit("train3d_steps_per_s", 40 / (time.perf_counter() - t0),
          "steps/s (batch 2x(32,96,96))")
     ctx.model3 = model3
 
